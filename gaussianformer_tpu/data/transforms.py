@@ -1,0 +1,207 @@
+"""Data pipeline transforms (numpy / PIL).
+
+Behavioral parity with reference dataset/transform_3d.py:
+  - :func:`sample_augmentation` — aug parameter sampling
+    (dataset/dataset.py:68-100);
+  - :func:`resize_crop_flip` — image warp + homography (ida_mat) update
+    (transform_3d.py:75-138);
+  - :func:`photometric_distortion` — brightness/contrast/HSV jitter
+    (transform_3d.py:181-287);
+  - :func:`normalize_images` — (img - mean) / std. Images are loaded RGB
+    here (PIL), so `to_rgb` conversion from the reference's BGR loading is
+    a no-op by construction;
+  - :func:`load_occupancy_surroundocc` — sparse [K, 4] npy → dense
+    200x200x16 grid with empty=17, camera mask, voxel-center meshgrid
+    (transform_3d.py:474-534).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+@dataclasses.dataclass
+class AugConfig:
+    resize: float
+    resize_dims: Tuple[int, int]     # (W, H)
+    crop: Tuple[int, int, int, int]  # (x0, y0, x1, y1)
+    flip: bool
+    rotate: float                    # degrees
+
+
+def sample_augmentation(rng: np.random.RandomState, *, H: int, W: int,
+                        final_dim: Tuple[int, int],
+                        resize_lim: Tuple[float, float],
+                        bot_pct_lim: Tuple[float, float] = (0.0, 0.0),
+                        rot_lim: Tuple[float, float] = (0.0, 0.0),
+                        rand_flip: bool = True,
+                        test_mode: bool = False) -> AugConfig:
+    fH, fW = final_dim
+    if not test_mode:
+        resize = rng.uniform(*resize_lim)
+        resize_dims = (int(W * resize), int(H * resize))
+        newW, newH = resize_dims
+        crop_h = int((1 - rng.uniform(*bot_pct_lim)) * newH) - fH
+        crop_w = int(rng.uniform(0, max(0, newW - fW)))
+        crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+        flip = bool(rand_flip and rng.choice([0, 1]))
+        rotate = rng.uniform(*rot_lim)
+    else:
+        resize = max(fH / H, fW / W)
+        resize_dims = (int(W * resize), int(H * resize))
+        newW, newH = resize_dims
+        crop_h = int((1 - np.mean(bot_pct_lim)) * newH) - fH
+        crop_w = int(max(0, newW - fW) / 2)
+        crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+        flip = False
+        rotate = 0.0
+    return AugConfig(resize, resize_dims, crop, flip, rotate)
+
+
+def _rot2(deg: float) -> np.ndarray:
+    h = deg / 180.0 * np.pi
+    return np.array([[np.cos(h), np.sin(h)], [-np.sin(h), np.cos(h)]],
+                    np.float64)
+
+
+def img_transform_matrix(aug: AugConfig) -> np.ndarray:
+    """3x3 post-homography for the resize/crop/flip/rotate chain
+    (transform_3d.py:112-138)."""
+    ida_rot = np.eye(2) * aug.resize
+    ida_tran = -np.asarray(aug.crop[:2], np.float64)
+    if aug.flip:
+        A = np.array([[-1.0, 0.0], [0.0, 1.0]])
+        b = np.array([aug.crop[2] - aug.crop[0], 0.0])
+        ida_rot = A @ ida_rot
+        ida_tran = A @ ida_tran + b
+    A = _rot2(aug.rotate)
+    b = np.array([aug.crop[2] - aug.crop[0],
+                  aug.crop[3] - aug.crop[1]]) / 2.0
+    b = A @ (-b) + b
+    ida_rot = A @ ida_rot
+    ida_tran = A @ ida_tran + b
+    m = np.eye(3)
+    m[:2, :2] = ida_rot
+    m[:2, 2] = ida_tran
+    return m
+
+
+def resize_crop_flip(imgs: Sequence[np.ndarray], aug: AugConfig,
+                     lidar2img: np.ndarray):
+    """Apply the warp to each camera image and update lidar2img in place.
+
+    imgs: list of [H, W, 3] float32 (RGB); lidar2img: [N, 4, 4].
+    Returns (new_imgs, new_lidar2img, image_shapes)."""
+    assert Image is not None, "PIL required for image transforms"
+    mat3 = img_transform_matrix(aug)
+    mat4 = np.eye(4)
+    mat4[:3, :3] = mat3
+    new_imgs = []
+    new_l2i = lidar2img.copy()
+    for i, img in enumerate(imgs):
+        im = Image.fromarray(np.uint8(img))
+        im = im.resize(aug.resize_dims)
+        im = im.crop(aug.crop)
+        if aug.flip:
+            im = im.transpose(method=Image.FLIP_LEFT_RIGHT)
+        im = im.rotate(aug.rotate)
+        new_imgs.append(np.asarray(im).astype(np.float32))
+        new_l2i[i] = mat4 @ lidar2img[i]
+    shapes = [x.shape[:2] for x in new_imgs]
+    return new_imgs, new_l2i, shapes
+
+
+# ---------------------------------------------------------------- photometric
+def _rgb_to_hsv(img):
+    """Vectorized RGB[0..255] → HSV (H in [0,360), S,V in [0,1],[0,255])."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = np.max(img, axis=-1)
+    minc = np.min(img, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    dz = np.maximum(delta, 1e-12)
+    h = np.where(maxc == r, (g - b) / dz % 6.0,
+                 np.where(maxc == g, (b - r) / dz + 2.0,
+                          (r - g) / dz + 4.0))
+    h = np.where(delta == 0, 0.0, h) * 60.0
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0] / 60.0, hsv[..., 1], hsv[..., 2]
+    i = np.floor(h) % 6
+    f = h - np.floor(h)
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    r = np.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                  [v, q, p, p, t, v])
+    g = np.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                  [t, v, v, q, p, p])
+    b = np.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                  [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
+def photometric_distortion(img: np.ndarray, rng: np.random.RandomState, *,
+                           brightness_delta: float = 32.0,
+                           contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5),
+                           hue_delta: float = 18.0) -> np.ndarray:
+    """Reference PhotoMetricDistortionMultiViewImage (transform_3d.py:181)."""
+    img = img.astype(np.float32)
+    if rng.randint(2):
+        img = img + rng.uniform(-brightness_delta, brightness_delta)
+    mode = rng.randint(2)
+    if mode == 1 and rng.randint(2):
+        img = img * rng.uniform(*contrast_range)
+    hsv = _rgb_to_hsv(np.clip(img, 0, 255))
+    if rng.randint(2):
+        hsv[..., 1] = hsv[..., 1] * rng.uniform(*saturation_range)
+    if rng.randint(2):
+        hsv[..., 0] = hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)
+        hsv[..., 0] = hsv[..., 0] % 360.0
+    img = _hsv_to_rgb(hsv)
+    if mode == 0 and rng.randint(2):
+        img = img * rng.uniform(*contrast_range)
+    if rng.randint(2):
+        img = img[..., rng.permutation(3)]
+    return img
+
+
+def normalize_images(imgs: Sequence[np.ndarray], mean, std) -> np.ndarray:
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return np.stack([(im - mean) / std for im in imgs]).astype(np.float32)
+
+
+# ----------------------------------------------------------------- occupancy
+def occ_meshgrid(pc_range=(-50.0, -50.0, -5.0, 50.0, 50.0, 3.0),
+                 grid=(200, 200, 16), reso: float = 0.5) -> np.ndarray:
+    xs = np.arange(grid[0], dtype=np.float32) * reso + 0.5 * reso + pc_range[0]
+    ys = np.arange(grid[1], dtype=np.float32) * reso + 0.5 * reso + pc_range[1]
+    zs = np.arange(grid[2], dtype=np.float32) * reso + 0.5 * reso + pc_range[2]
+    return np.stack(np.meshgrid(xs, ys, zs, indexing="ij"),
+                    axis=-1).astype(np.float32)
+
+
+def load_occupancy_surroundocc(label_path: str,
+                               grid=(200, 200, 16),
+                               empty_label: int = 17):
+    """Sparse [K, 4] (x, y, z, cls) npy → (occ_label, occ_cam_mask, occ_xyz).
+
+    The camera mask marks voxels with label != 0 (class 0 = "unobserved" in
+    the SurroundOcc release; transform_3d.py:509)."""
+    label = np.load(label_path)
+    occ = np.full(grid, empty_label, np.int64)
+    occ[label[:, 0], label[:, 1], label[:, 2]] = label[:, 3]
+    mask = occ != 0
+    return occ, mask, occ_meshgrid(grid=grid)

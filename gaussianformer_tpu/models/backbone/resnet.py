@@ -1,0 +1,195 @@
+"""ResNet image backbone (caffe / pytorch styles, optional DCNv2 stages).
+
+Capability parity with the mmseg ResNet used by the reference
+(config/nuscenes_gs144000.py:80-92: ResNet-101, caffe style, BN frozen
+[norm_eval + requires_grad=False], DCNv2 in stages 3-4, frozen_stages=1,
+gradient checkpointing). TPU-native design notes:
+
+  - NHWC layout throughout (TPU conv-friendly);
+  - BatchNorm is evaluated with running statistics ("frozen BN"): the
+    shipped reference configs never train BN (norm_eval=True), so the
+    stats live in the ``batch_stats`` collection and are treated as
+    constants. Parameter freezing (frozen_stages / lr_mult) is handled by
+    the optimizer partition, not the module;
+  - DCNv2 stages use :func:`gaussianformer_tpu.ops.dcn.deform_conv2d`;
+  - per-stage ``jax.checkpoint`` (`with_cp`) to trade FLOPs for HBM.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.dcn import deform_conv2d
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN evaluated with stored running statistics."""
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
+        return x * inv + (bias - mean.value * inv)
+
+
+class DeformConv2d(nn.Module):
+    """Modulated deformable conv (DCNv2), deform_groups=1."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        pad = self.dilation * (k - 1) // 2
+        # offset/mask conv — zero-init as in DCNv2
+        om = nn.Conv(3 * k * k, (k, k), strides=(self.stride, self.stride),
+                     padding=pad, kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name="conv_offset")(x)
+        offset, mask_logit = om[..., :2 * k * k], om[..., 2 * k * k:]
+        mask = jax.nn.sigmoid(mask_logit)
+        weight = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features))
+        return deform_conv2d(x, offset, mask, weight, stride=self.stride,
+                             padding=pad, dilation=self.dilation)
+
+
+class Bottleneck(nn.Module):
+    planes: int          # bottleneck width; out channels = planes * 4
+    stride: int = 1
+    dilation: int = 1
+    style: str = "caffe"  # caffe: stride on 1x1; pytorch: stride on 3x3
+    with_dcn: bool = False
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        s1 = self.stride if self.style == "caffe" else 1
+        s2 = 1 if self.style == "caffe" else self.stride
+
+        out = nn.Conv(self.planes, (1, 1), strides=(s1, s1), use_bias=False,
+                      name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+
+        if self.with_dcn:
+            out = DeformConv2d(self.planes, 3, stride=s2,
+                               dilation=self.dilation, name="conv2")(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=(s2, s2),
+                          padding=self.dilation,
+                          kernel_dilation=(self.dilation, self.dilation),
+                          use_bias=False, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+
+        if self.downsample:
+            idn = nn.Conv(self.planes * 4, (1, 1),
+                          strides=(self.stride, self.stride), use_bias=False,
+                          name="downsample_conv")(x)
+            idn = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(idn)
+        else:
+            idn = x
+        return nn.relu(out + idn)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    style: str = "pytorch"
+    with_dcn: bool = False
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=self.dilation,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        if self.downsample:
+            idn = nn.Conv(self.planes, (1, 1),
+                          strides=(self.stride, self.stride), use_bias=False,
+                          name="downsample_conv")(x)
+            idn = FrozenBatchNorm(self.planes, name="downsample_bn")(idn)
+        else:
+            idn = x
+        return nn.relu(out + idn)
+
+
+class ResNet(nn.Module):
+    depth: int = 101
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    style: str = "caffe"
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    base_channels: int = 64
+    with_cp: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, 3] → tuple of stage outputs (NHWC)."""
+        block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
+        if self.with_cp:
+            # per-block rematerialization (the reference's `with_cp=True`)
+            block_cls = nn.remat(block_cls)
+
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(self.base_channels, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        planes = self.base_channels
+        for i in range(self.num_stages):
+            num_blocks = stage_blocks[i]
+            stride = self.strides[i]
+            dilation = self.dilations[i]
+            with_dcn = self.stage_with_dcn[i]
+
+            expansion = 4 if block_kind == "bottleneck" else 1
+            for j in range(num_blocks):
+                blk_stride = stride if j == 0 else 1
+                need_ds = j == 0 and (
+                    blk_stride != 1 or x.shape[-1] != planes * expansion)
+                x = block_cls(
+                    planes=planes, stride=blk_stride, dilation=dilation,
+                    style=self.style, with_dcn=with_dcn,
+                    downsample=need_ds, name=f"layer{i + 1}_{j}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)

@@ -1,0 +1,431 @@
+"""Encoder building blocks: anchor embedding, FFN, deformable cross-attn,
+sparse-conv self-encoding, refinement (v1/v2).
+
+Anchor vector layout (shared with the reference,
+model/lifter/gaussian_lifter.py:52):
+    [xyz(3), scale(3), rot quat(4), opacity(0|1), semantics(C_sem)]
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.safe_ops import safe_sigmoid
+from ...ops.coords import cartesian, reverse_cartesian
+from ...ops.rotation import quaternion_to_rotation_matrix
+from ...ops.deformable import deformable_aggregation
+from ...ops.sparse_conv import submanifold_conv3d, voxel_indices
+from ..layers import LinearReluLn, ChannelScale
+
+
+class GaussianPrediction(NamedTuple):
+    """Per-refine-layer decoded Gaussians (world space)."""
+    means: jax.Array       # [B, P, 3]
+    scales: jax.Array      # [B, P, 3]
+    rotations: jax.Array   # [B, P, 4]
+    opacities: jax.Array   # [B, P, 0|1]
+    semantics: jax.Array   # [B, P, C_sem]
+    original_means: Optional[jax.Array] = None
+    delta_means: Optional[jax.Array] = None
+
+
+class SparseGaussian3DEncoder(nn.Module):
+    """Anchor → embedding: per-component MLPs summed then projected
+    (reference anchor_encoder_module.py:8-53)."""
+    embed_dims: int = 128
+    include_opa: bool = True
+    semantic_dim: int = 17
+
+    @nn.compact
+    def __call__(self, anchor):
+        def embed(x, input_dims, name):
+            return LinearReluLn(self.embed_dims, 1, 2, input_dims,
+                                name=name)(x)
+
+        out = embed(anchor[..., 0:3], 3, "xyz_fc")
+        out = out + embed(anchor[..., 3:6], 3, "scale_fc")
+        out = out + embed(anchor[..., 6:10], 4, "rot_fc")
+        start = 10
+        if self.include_opa:
+            out = out + embed(anchor[..., 10:11], 1, "opacity_fc")
+            start = 11
+        if self.semantic_dim > 0:
+            out = out + embed(
+                anchor[..., start:start + self.semantic_dim],
+                self.semantic_dim, "semantics_fc")
+        return LinearReluLn(self.embed_dims, 1, 2, name="output_fc")(out)
+
+
+class AsymmetricFFN(nn.Module):
+    """2-layer FFN with optional pre-norm and identity projection
+    (reference ffn_module.py:8-75)."""
+    embed_dims: int = 128
+    feedforward_channels: int = 512
+    ffn_drop: float = 0.1
+    pre_norm: bool = False
+    add_identity: bool = True
+    in_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        identity = x
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(x)
+            identity = x
+        out = nn.Dense(self.feedforward_channels, name="fc1")(x)
+        out = nn.relu(out)
+        out = nn.Dropout(self.ffn_drop, deterministic=deterministic)(out)
+        out = nn.Dense(self.embed_dims, name="fc2")(out)
+        out = nn.Dropout(self.ffn_drop, deterministic=deterministic)(out)
+        if not self.add_identity:
+            return out
+        in_ch = self.in_channels or self.embed_dims
+        if in_ch != self.embed_dims:
+            identity = nn.Dense(self.embed_dims, name="identity_fc")(identity)
+        return identity + out
+
+
+class SparseGaussian3DKeyPointsGenerator(nn.Module):
+    """Key points = mean + R^T (fixed ∪ learnable offsets × gaussian scale)
+    (reference deformable_module.py:18-90)."""
+    embed_dims: int = 128
+    num_learnable_pts: int = 0
+    learnable_fixed_scale: float = 1.0
+    fix_scale: Tuple[Tuple[float, float, float], ...] = ((0.0, 0.0, 0.0),)
+    pc_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    scale_range: Tuple[float, float] = (0.01, 3.2)
+
+    @property
+    def num_pts(self):
+        return len(self.fix_scale) + self.num_learnable_pts
+
+    @nn.compact
+    def __call__(self, anchor, instance_feature=None):
+        b, p = anchor.shape[:2]
+        fix = jnp.asarray(self.fix_scale, jnp.float32)
+        scale = jnp.broadcast_to(fix[None, None],
+                                 (b, p, fix.shape[0], 3))
+        if self.num_learnable_pts > 0 and instance_feature is not None:
+            learn = nn.Dense(self.num_learnable_pts * 3,
+                             name="learnable_fc")(instance_feature)
+            learn = safe_sigmoid(
+                learn.reshape(b, p, self.num_learnable_pts, 3)) - 0.5
+            scale = jnp.concatenate(
+                [scale, learn * self.learnable_fixed_scale], axis=-2)
+
+        gs_scales = safe_sigmoid(anchor[..., None, 3:6])
+        gs_scales = (self.scale_range[0]
+                     + (self.scale_range[1] - self.scale_range[0]) * gs_scales)
+        key_points = scale * gs_scales  # [B, P, num_pts, 3]
+
+        rot_t = jnp.swapaxes(
+            quaternion_to_rotation_matrix(anchor[..., 6:10]), -1, -2)
+        key_points = jnp.einsum("bpij,bpkj->bpki", rot_t, key_points)
+
+        xyz = cartesian(anchor[..., :3], self.pc_range)
+        return key_points + xyz[:, :, None, :]
+
+
+def project_points(key_points, projection_mat, image_wh):
+    """Project world key points into all cameras (reference
+    deformable_module.py:287-305).
+
+    key_points: [B, P, K, 3]; projection_mat: [B, num_cams, 4, 4];
+    image_wh: [B, num_cams, 2].
+    Returns points_2d [B, num_cams, P, K, 2] normalized, mask same shape.
+    """
+    pts = jnp.concatenate(
+        [key_points, jnp.ones_like(key_points[..., :1])], axis=-1)
+    # [B, cams, P, K, 4]
+    proj = jnp.einsum("bcij,bpkj->bcpki", projection_mat, pts)
+    depth = proj[..., 2]
+    uv = proj[..., :2] / jnp.maximum(depth[..., None], 1e-5)
+    uv = uv / image_wh[:, :, None, None, :]
+    mask = ((depth > 1e-5)
+            & (uv[..., 0] > 0.0) & (uv[..., 0] < 1.0)
+            & (uv[..., 1] > 0.0) & (uv[..., 1] < 1.0))
+    return uv, mask
+
+
+class DeformableFeatureAggregation(nn.Module):
+    """Deformable multi-cam multi-scale cross-attention
+    (reference deformable_module.py:94-353)."""
+    embed_dims: int = 128
+    num_groups: int = 4
+    num_levels: int = 4
+    num_cams: int = 6
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    use_camera_embed: bool = True
+    residual_mode: str = "add"
+    # key-points generator config
+    num_learnable_pts: int = 6
+    learnable_fixed_scale: float = 1.0
+    fix_scale: Tuple[Tuple[float, float, float], ...] = ((0.0, 0.0, 0.0),)
+    pc_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    scale_range: Tuple[float, float] = (0.01, 3.2)
+
+    @nn.compact
+    def __call__(self, instance_feature, anchor, anchor_embed, feature_maps,
+                 projection_mat, image_wh, deterministic: bool = True):
+        b, p = instance_feature.shape[:2]
+        kps_gen = SparseGaussian3DKeyPointsGenerator(
+            embed_dims=self.embed_dims,
+            num_learnable_pts=self.num_learnable_pts,
+            learnable_fixed_scale=self.learnable_fixed_scale,
+            fix_scale=self.fix_scale,
+            pc_range=self.pc_range,
+            scale_range=self.scale_range,
+            name="kps_generator")
+        num_pts = kps_gen.num_pts
+        key_points = kps_gen(anchor, instance_feature)
+
+        # ---- attention weights (reference _get_weights :249-282)
+        feature = instance_feature + anchor_embed
+        if self.use_camera_embed:
+            cam_embed = LinearReluLn(self.embed_dims, 1, 2, 12,
+                                     name="camera_encoder")(
+                projection_mat[:, :, :3].reshape(b, self.num_cams, 12))
+            feature = feature[:, :, None] + cam_embed[:, None]
+            weights = nn.Dense(
+                self.num_groups * self.num_levels * num_pts,
+                kernel_init=nn.initializers.zeros,
+                name="weights_fc")(feature)
+            # [B, P, cams, lvls*pts*groups] → canonical order below
+            weights = weights.reshape(
+                b, p, self.num_cams, self.num_levels, num_pts,
+                self.num_groups)
+        else:
+            weights = nn.Dense(
+                self.num_groups * self.num_cams * self.num_levels * num_pts,
+                kernel_init=nn.initializers.zeros,
+                name="weights_fc")(feature)
+            weights = weights.reshape(
+                b, p, self.num_cams, self.num_levels, num_pts,
+                self.num_groups)
+
+        if self.attn_drop > 0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.uniform(rng, weights.shape) > self.attn_drop
+        else:
+            keep = jnp.ones(weights.shape, bool)
+
+        # [B, P, pts, cams, lvls, groups] (reference permute :180-205)
+        weights = jnp.transpose(weights, (0, 1, 4, 2, 3, 5))
+        keep = jnp.transpose(keep, (0, 1, 4, 2, 3, 5))
+
+        points_2d, vis_mask = project_points(
+            key_points, projection_mat, image_wh)
+        # vis: [B, cams, P, pts] → [B, P, pts, cams]
+        vis = jnp.transpose(vis_mask, (0, 2, 3, 1))
+        mask = vis[..., None, None] & keep
+        all_miss = jnp.sum(mask, axis=(2, 3, 4), keepdims=True) == 0
+
+        # softmax over (pts, cams, lvls) with -inf at masked entries; rows
+        # that miss every camera are softmaxed over zeros and then zeroed
+        # out entirely (reference :219-224 — avoids NaN from all -inf).
+        miss_b = jnp.broadcast_to(all_miss, mask.shape)
+        w = jnp.where(mask, weights, -jnp.inf)
+        w = jnp.where(miss_b, 0.0, w)
+        w_flat = w.reshape(b, p, num_pts * self.num_cams * self.num_levels,
+                           self.num_groups)
+        w_soft = jax.nn.softmax(w_flat, axis=-2)
+        w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
+        w_soft = w_soft.reshape(b, p * num_pts,
+                                self.num_cams, self.num_levels,
+                                self.num_groups)
+
+        loc = jnp.transpose(points_2d, (0, 2, 3, 1, 4)).reshape(
+            b, p * num_pts, self.num_cams, 2)
+
+        features = deformable_aggregation(
+            feature_maps, loc, w_soft, self.num_groups)
+        features = features.reshape(b, p, num_pts, self.embed_dims)
+        features = jnp.sum(features, axis=2)
+
+        output = nn.Dense(self.embed_dims, name="output_proj")(features)
+        output = nn.Dropout(self.proj_drop,
+                            deterministic=deterministic)(output)
+        if self.residual_mode == "add":
+            output = output + instance_feature
+        elif self.residual_mode == "cat":
+            output = jnp.concatenate([output, instance_feature], axis=-1)
+        return output
+
+
+class SparseConv3DModule(nn.Module):
+    """Submanifold sparse-conv self-encoding of anchors
+    (reference spconv3d_module.py:10-83)."""
+    in_channels: int = 128
+    embed_channels: int = 128
+    pc_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    grid_size: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    kernel_size: int = 5
+    use_out_proj: bool = False
+    use_multi_layer: bool = False
+
+    @nn.compact
+    def __call__(self, instance_feature, anchor):
+        b = instance_feature.shape[0]
+        xyz = cartesian(anchor[..., :3], self.pc_range)
+        coords, grid_shape = voxel_indices(
+            xyz, self.pc_range, self.grid_size)
+
+        def conv_layer(feats, crds, name, c_in, c_out, use_bias):
+            k = self.kernel_size
+            w = self.param(
+                name + "_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+                (k, k, k, c_in, c_out))
+            bias = (self.param(name + "_bias", nn.initializers.zeros,
+                               (c_out,)) if use_bias else None)
+            return jax.vmap(
+                lambda f, c: submanifold_conv3d(f, c, grid_shape, w, bias)
+            )(feats, crds)
+
+        x = instance_feature
+        if self.use_multi_layer:
+            for i in range(3):
+                c_in = self.in_channels if i == 0 else self.embed_channels
+                x = conv_layer(x, coords, f"conv{i}", c_in,
+                               self.embed_channels, use_bias=True)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(x)
+                x = nn.relu(x)
+        else:
+            x = conv_layer(x, coords, "conv0", self.in_channels,
+                           self.embed_channels, use_bias=False)
+        if self.use_out_proj:
+            x = nn.Dense(self.embed_channels, name="output_proj")(x)
+        return x
+
+
+class SparseGaussian3DRefinementModule(nn.Module):
+    """v1 additive refinement (reference refine_module.py:11-123)."""
+    embed_dims: int = 128
+    pc_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    scale_range: Tuple[float, float] = (0.08, 0.64)
+    restrict_xyz: bool = False
+    unit_xyz: Optional[Tuple[float, float, float]] = None
+    refine_manual: Optional[Tuple[int, ...]] = None
+    semantic_dim: int = 17
+    include_opa: bool = True
+    semantics_activation: str = "softmax"
+
+    @nn.compact
+    def __call__(self, instance_feature, anchor, anchor_embed):
+        out_dim = 10 + int(self.include_opa) + self.semantic_dim
+        sem_start = 10 + int(self.include_opa)
+
+        x = LinearReluLn(self.embed_dims, 2, 2, name="layers")(
+            instance_feature + anchor_embed)
+        output = nn.Dense(out_dim, name="out_fc")(x)
+        output = ChannelScale(out_dim, name="out_scale")(output)
+
+        if self.restrict_xyz:
+            unit_prob = [
+                self.unit_xyz[i]
+                / (self.pc_range[i + 3] - self.pc_range[i]) * 4.0
+                for i in range(3)
+            ]
+            delta_prob = 2.0 * safe_sigmoid(output[..., :3]) - 1.0
+            delta = delta_prob * jnp.asarray(unit_prob, jnp.float32)
+            output = jnp.concatenate([delta, output[..., 3:]], axis=-1)
+
+        if self.refine_manual:
+            k = len(self.refine_manual)
+            refined = output[..., :k] + anchor[..., :k]
+            output = jnp.concatenate([refined, output[..., k:]], axis=-1)
+
+        xyz_a = output[..., :3]
+        scale_a = output[..., 3:6]
+        rot = output[..., 6:10]
+        rot = rot / jnp.maximum(
+            jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        output = jnp.concatenate(
+            [xyz_a, scale_a, rot, output[..., 10:]], axis=-1)
+
+        xyz = cartesian(xyz_a, self.pc_range)
+        gs_scales = safe_sigmoid(scale_a)
+        gs_scales = (self.scale_range[0]
+                     + (self.scale_range[1] - self.scale_range[0]) * gs_scales)
+
+        semantics = output[..., sem_start:sem_start + self.semantic_dim]
+        semantics = _apply_semantics_activation(
+            semantics, self.semantics_activation)
+
+        gaussian = GaussianPrediction(
+            means=xyz,
+            scales=gs_scales,
+            rotations=rot,
+            opacities=safe_sigmoid(
+                output[..., 10:10 + int(self.include_opa)]),
+            semantics=semantics,
+        )
+        return output, gaussian
+
+
+class SparseGaussian3DRefinementModuleV2(nn.Module):
+    """v2 refinement: world-space bounded xyz delta; scale/rot/opa/sem
+    replaced (reference refine_module_v2.py:12-108)."""
+    embed_dims: int = 128
+    pc_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    scale_range: Tuple[float, float] = (0.01, 3.2)
+    unit_xyz: Tuple[float, float, float] = (4.0, 4.0, 1.0)
+    semantic_dim: int = 17
+    include_opa: bool = True
+    semantics_activation: str = "identity"
+
+    @nn.compact
+    def __call__(self, instance_feature, anchor, anchor_embed):
+        out_dim = 10 + int(self.include_opa) + self.semantic_dim
+        sem_start = 10 + int(self.include_opa)
+
+        x = LinearReluLn(self.embed_dims, 2, 2, name="layers")(
+            instance_feature + anchor_embed)
+        output = nn.Dense(out_dim, name="out_fc")(x)
+        output = ChannelScale(out_dim, name="out_scale")(output)
+
+        unit = jnp.asarray(self.unit_xyz, jnp.float32)
+        delta_xyz = (2.0 * safe_sigmoid(output[..., :3]) - 1.0) * unit
+        original_xyz = cartesian(anchor[..., :3], self.pc_range)
+        anchor_xyz = reverse_cartesian(original_xyz + delta_xyz,
+                                       self.pc_range)
+
+        scale_a = output[..., 3:6]
+        rot = output[..., 6:10]
+        rot = rot / jnp.maximum(
+            jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        opa = output[..., 10:10 + int(self.include_opa)]
+        sem = output[..., sem_start:sem_start + self.semantic_dim]
+
+        new_anchor = jnp.concatenate(
+            [anchor_xyz, scale_a, rot, opa, sem], axis=-1)
+
+        xyz = cartesian(anchor_xyz, self.pc_range)
+        gs_scales = safe_sigmoid(scale_a)
+        gs_scales = (self.scale_range[0]
+                     + (self.scale_range[1] - self.scale_range[0]) * gs_scales)
+        semantics = _apply_semantics_activation(
+            sem, self.semantics_activation)
+
+        gaussian = GaussianPrediction(
+            means=xyz,
+            scales=gs_scales,
+            rotations=rot,
+            opacities=safe_sigmoid(opa),
+            semantics=semantics,
+            original_means=original_xyz,
+            delta_means=delta_xyz,
+        )
+        return new_anchor, gaussian
+
+
+def _apply_semantics_activation(semantics, activation: str):
+    if activation == "softmax":
+        return jax.nn.softmax(semantics, axis=-1)
+    if activation == "softplus":
+        return jax.nn.softplus(semantics)
+    return semantics

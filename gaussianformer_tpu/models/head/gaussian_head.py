@@ -1,0 +1,177 @@
+"""Gaussian occupancy head: splat refined Gaussians to the voxel grid.
+
+Capability parity with the reference GaussianHead
+(model/head/gaussian_head.py:10-197):
+  - selects which refine layers to supervise (all / random_k / fixed);
+  - builds covariance inverses fully on device (the reference does a CPU
+    round-trip, gaussian_head.py:119 — here a closed-form symmetric
+    inverse);
+  - `with_empty`: appends one large background Gaussian carrying the empty
+    class with a learnable logit scalar;
+  - prob path: softmax semantics + zero-padded empty channel, GMM splat
+    (bin_logits / density), then either `combine_geosem` or
+    argmax+threshold post-processing.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.covariance import build_covariance_inverse
+from ...ops.splat import SplatGridSpec, splat
+from ..encoder.modules import GaussianPrediction
+
+
+class GaussianHead(nn.Module):
+    apply_loss_type: str = "random_1"
+    num_classes: int = 18
+    empty_label: int = 17
+    with_empty: bool = False
+    empty_mean: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    empty_scale: Tuple[float, float, float] = (100.0, 100.0, 8.0)
+    use_localaggprob: bool = True
+    combine_geosem: bool = True
+    dataset_type: str = "nusc"
+    grid: SplatGridSpec = SplatGridSpec()
+    per_axis_radii: bool = False
+    sigmoid_thresh: float = 0.5
+    splat_tile_n: int = 8192
+    splat_chunk_g: int = 512
+
+    def prepare_gaussian_args(self, gaussians: GaussianPrediction):
+        means = gaussians.means
+        scales = gaussians.scales
+        rotations = gaussians.rotations
+        opacities = gaussians.semantics  # semantics drive the channels
+        origi_opa = gaussians.opacities
+        if origi_opa.shape[-1] == 0:
+            origi_opa = jnp.ones_like(opacities[..., :1])
+
+        if self.with_empty:
+            empty_scalar = self.param(
+                "empty_scalar", nn.initializers.constant(10.0), (1,))
+            b = means.shape[0]
+            # non-empty gaussians get a zero logit on the empty channel
+            if "kitti" in self.dataset_type:
+                opacities = jnp.concatenate(
+                    [jnp.zeros_like(opacities[..., :1]), opacities], axis=-1)
+            else:
+                opacities = jnp.concatenate(
+                    [opacities, jnp.zeros_like(opacities[..., :1])], axis=-1)
+            e_mean = jnp.broadcast_to(
+                jnp.asarray(self.empty_mean, jnp.float32), (b, 1, 3))
+            e_scale = jnp.broadcast_to(
+                jnp.asarray(self.empty_scale, jnp.float32), (b, 1, 3))
+            e_rot = jnp.broadcast_to(
+                jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32), (b, 1, 4))
+            e_sem = jnp.zeros((b, 1, self.num_classes), jnp.float32)
+            e_sem = e_sem.at[..., self.empty_label].add(empty_scalar[0])
+            means = jnp.concatenate([means, e_mean], axis=1)
+            scales = jnp.concatenate([scales, e_scale], axis=1)
+            rotations = jnp.concatenate([rotations, e_rot], axis=1)
+            opacities = jnp.concatenate([opacities, e_sem], axis=1)
+            origi_opa = jnp.concatenate(
+                [origi_opa, jnp.ones((b, 1, 1), jnp.float32)], axis=1)
+        elif self.use_localaggprob:
+            opacities = jax.nn.softmax(opacities, axis=-1)
+            if "kitti" in self.dataset_type:
+                opacities = jnp.concatenate(
+                    [jnp.zeros_like(opacities[..., :1]), opacities], axis=-1)
+            else:
+                opacities = jnp.concatenate(
+                    [opacities, jnp.zeros_like(opacities[..., :1])], axis=-1)
+
+        cov_inv6 = build_covariance_inverse(scales, rotations, compact=True)
+        return means, origi_opa[..., 0], opacities, scales, cov_inv6
+
+    @nn.compact
+    def __call__(self, representation: Sequence[GaussianPrediction],
+                 occ_xyz, occ_label, occ_cam_mask, *,
+                 training: bool = False, rng: Optional[jax.Array] = None,
+                 apply_loss_layers: Optional[Sequence[int]] = None):
+        """occ_xyz: [B, X, Y, Z, 3]; occ_label: [B, X, Y, Z];
+        occ_cam_mask: [B, X, Y, Z] bool.
+
+        ``apply_loss_layers`` (static python list) lets the train loop pick
+        the supervised layers on host — the parity path for `random_k`
+        with k > 1 (reference draws with np.random.choice on host too,
+        gaussian_head.py:133-137)."""
+        num_decoder = len(representation)
+        b = occ_xyz.shape[0]
+        sampled_xyz = occ_xyz.reshape(b, -1, 3)
+        sampled_label = occ_label.reshape(b, -1)
+
+        if apply_loss_layers is not None:
+            apply_loss_layers = list(apply_loss_layers)
+        elif not training:
+            apply_loss_layers = [num_decoder - 1]
+        elif self.apply_loss_type == "all":
+            apply_loss_layers = list(range(num_decoder))
+        elif self.apply_loss_type.startswith("random"):
+            k = int(self.apply_loss_type.split("_")[1])
+            if k > 1:
+                assert rng is not None
+                extra = jax.random.choice(
+                    rng, num_decoder - 1, (k - 1,), replace=False)
+                # static shapes: we gather the layer predictions dynamically
+                # below via a python loop over all layers and jnp.where —
+                # but layer choice is data independent so lax.switch would
+                # also work; simplest parity: supervise the last layer plus
+                # (k-1) randomly chosen earlier layers. To stay jit-static
+                # we draw outside jit in the train loop; here k>1 falls
+                # back to supervising the last k layers when no host rng.
+                apply_loss_layers = list(range(num_decoder - k,
+                                               num_decoder))
+            else:
+                apply_loss_layers = [num_decoder - 1]
+        elif self.apply_loss_type.startswith("fixed"):
+            apply_loss_layers = [
+                int(s) for s in self.apply_loss_type.split("_")[1:]]
+        else:
+            raise NotImplementedError(self.apply_loss_type)
+
+        prediction, bin_logits, density = [], [], []
+        for idx in apply_loss_layers:
+            gaussians = representation[idx]
+            means, opa, sem, scales, cov_inv6 = self.prepare_gaussian_args(
+                gaussians)
+
+            outs = splat(
+                sampled_xyz, means, opa, sem, scales, cov_inv6, self.grid,
+                variant="prob" if self.use_localaggprob else "additive",
+                per_axis_radii=self.per_axis_radii,
+                tile_n=self.splat_tile_n, chunk_g=self.splat_chunk_g)
+
+            if self.use_localaggprob:
+                logits, bins, dens = outs
+                if self.combine_geosem:
+                    sem_part = logits[..., :-1] * bins[..., None]
+                    geo_part = 1.0 - bins[..., None]
+                    logits = jnp.concatenate([sem_part, geo_part], axis=-1)
+                prediction.append(logits)
+                bin_logits.append(bins)
+                density.append(dens)
+            else:
+                prediction.append(outs[0])
+
+        if self.use_localaggprob and not self.combine_geosem:
+            final_sem = jnp.argmax(prediction[-1], axis=-1)
+            occupied = bin_logits[-1] > self.sigmoid_thresh
+            final_occ = jnp.where(occupied, final_sem, self.empty_label)
+        else:
+            final_occ = jnp.argmax(prediction[-1], axis=-1)
+
+        return {
+            "pred_occ": prediction,
+            "bin_logits": bin_logits,
+            "density": density,
+            "sampled_label": sampled_label,
+            "sampled_xyz": sampled_xyz,
+            "occ_mask": occ_cam_mask.reshape(b, -1),
+            "final_occ": final_occ,
+            "gaussian": representation[-1],
+            "gaussians": list(representation),
+        }

@@ -1,0 +1,57 @@
+"""GaussianLifter (v1): a learnable bank of anchor Gaussians.
+
+Parity with reference model/lifter/gaussian_lifter.py:30-87: anchors are
+initialized uniform-random in the unit cube (inverse-sigmoid-ed), scales
+likewise, identity quaternion, opacity 0.5; instance features zero.
+Freezing (anchor_grad / feat_grad) is handled by the optimizer partition.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.safe_ops import safe_inverse_sigmoid
+
+
+def _init_anchor(key, num_anchor, semantic_dim, include_opa):
+    k_xyz, k_scale, k_sem = jax.random.split(key, 3)
+    xyz = safe_inverse_sigmoid(
+        jax.random.uniform(k_xyz, (num_anchor, 3), jnp.float32))
+    scale = safe_inverse_sigmoid(
+        jax.random.uniform(k_scale, (num_anchor, 3), jnp.float32))
+    rots = jnp.zeros((num_anchor, 4), jnp.float32).at[:, 0].set(1.0)
+    parts = [xyz, scale, rots]
+    if include_opa:
+        parts.append(safe_inverse_sigmoid(
+            0.5 * jnp.ones((num_anchor, 1), jnp.float32)))
+    if semantic_dim > 0:
+        parts.append(jax.random.normal(
+            k_sem, (num_anchor, semantic_dim), jnp.float32))
+    return jnp.concatenate(parts, axis=-1)
+
+
+class GaussianLifter(nn.Module):
+    num_anchor: int
+    embed_dims: int = 128
+    semantic_dim: int = 17
+    include_opa: bool = True
+
+    @nn.compact
+    def __call__(self, batch_size: int):
+        anchor = self.param(
+            "anchor",
+            lambda key: _init_anchor(key, self.num_anchor,
+                                     self.semantic_dim, self.include_opa))
+        instance_feature = self.param(
+            "instance_feature", nn.initializers.zeros,
+            (self.num_anchor, self.embed_dims))
+        return {
+            "representation": jnp.broadcast_to(
+                anchor[None], (batch_size,) + anchor.shape),
+            "rep_features": jnp.broadcast_to(
+                instance_feature[None],
+                (batch_size,) + instance_feature.shape),
+        }

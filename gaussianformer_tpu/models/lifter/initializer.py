@@ -1,0 +1,31 @@
+"""Pixel-aligned initializer backbone: ResNet + SECONDFPN
+(reference model/lifter/gaussian_initializer/resnet_secondfpn.py:9-37)."""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+
+from ..backbone.resnet import ResNet
+from ..neck.second_fpn import SECONDFPN
+
+
+class ResNetSecondFPN(nn.Module):
+    depth: int = 101
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
+    style: str = "caffe"
+    with_cp: bool = True
+    out_channels: Tuple[int, ...] = (128, 128, 128, 128)
+    upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4)
+
+    @nn.compact
+    def __call__(self, imgs):
+        """imgs: [B*N, H, W, 3] → [B*N, H/8, W/8, sum(out_channels)]."""
+        feats = ResNet(
+            depth=self.depth, out_indices=self.out_indices,
+            style=self.style, stage_with_dcn=self.stage_with_dcn,
+            with_cp=self.with_cp, name="img_backbone")(imgs)
+        return SECONDFPN(
+            out_channels=self.out_channels,
+            upsample_strides=self.upsample_strides, name="img_neck")(feats)

@@ -1,0 +1,90 @@
+"""Top-level segmentor: images → multi-scale features → lifter → encoder →
+head (capability parity with reference model/segmentor/bev_segmentor.py).
+
+The module is a pure function of (params, batch); freezing
+(freeze_img_backbone / freeze_lifter / ...) is applied in the optimizer
+partition, matching the reference's requires_grad_ flags.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .backbone.resnet import ResNet
+from .neck.fpn import FPN
+from .lifter.gaussian_lifter import GaussianLifter
+from .lifter.gaussian_lifter_v2 import GaussianLifterV2
+from .encoder.gaussian_encoder import GaussianOccEncoder
+from .head.gaussian_head import GaussianHead
+
+
+class BEVSegmentor(nn.Module):
+    backbone_cfg: dict = None
+    neck_cfg: dict = None
+    lifter_type: str = "v2"          # "v1" | "v2"
+    lifter_cfg: dict = None
+    encoder_cfg: dict = None
+    head_cfg: dict = None
+    img_backbone_out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+
+    @nn.compact
+    def __call__(self, imgs, projection_mat, image_wh,
+                 occ_xyz=None, occ_label=None, occ_cam_mask=None, *,
+                 training: bool = False, rng: Optional[jax.Array] = None,
+                 rep_only: bool = False,
+                 apply_loss_layers: Optional[Sequence[int]] = None
+                 ) -> Dict[str, Any]:
+        """imgs: [B, N_cam, H, W, 3] normalized images (NHWC).
+
+        projection_mat: [B, N_cam, 4, 4] lidar→image; image_wh [B, N_cam, 2].
+        occ_*: voxel ground truth (needed for head sampling / losses).
+        """
+        b, n = imgs.shape[:2]
+
+        # ---- image feature extraction (bev_segmentor.py:40-69)
+        flat = imgs.reshape((b * n,) + imgs.shape[2:])
+        stage_feats = ResNet(**(self.backbone_cfg or {}),
+                             name="img_backbone")(flat)
+        stage_feats = [stage_feats[i] for i in self.img_backbone_out_indices]
+        ms_feats = FPN(**(self.neck_cfg or {}), name="img_neck")(stage_feats)
+        ms_img_feats = [
+            f.reshape((b, n) + f.shape[1:]) for f in ms_feats
+        ]
+
+        # ---- lifter
+        rng_lifter = rng_head = None
+        if rng is not None:
+            rng_lifter, rng_head = jax.random.split(rng)
+        if self.lifter_type == "v1":
+            lifter_out = GaussianLifter(
+                **(self.lifter_cfg or {}), name="lifter")(batch_size=b)
+        else:
+            lifter_out = GaussianLifterV2(
+                **(self.lifter_cfg or {}), name="lifter")(
+                imgs, projection_mat, image_wh,
+                occ_label=occ_label, occ_cam_mask=occ_cam_mask,
+                rng=rng_lifter, compute_gt=training)
+
+        # ---- iterative refinement
+        enc_out = GaussianOccEncoder(
+            **(self.encoder_cfg or {}), name="encoder")(
+            lifter_out["representation"], lifter_out["rep_features"],
+            ms_img_feats, projection_mat, image_wh,
+            deterministic=not training)
+        if rep_only:
+            return {"representation": enc_out["representation"]}
+
+        # ---- splat head
+        head_out = GaussianHead(
+            **(self.head_cfg or {}), name="head")(
+            enc_out["representation"], occ_xyz, occ_label, occ_cam_mask,
+            training=training, rng=rng_head,
+            apply_loss_layers=apply_loss_layers)
+
+        result = dict(head_out)
+        result["pixel_logits"] = lifter_out.get("pixel_logits")
+        result["pixel_gt"] = lifter_out.get("pixel_gt")
+        return result

@@ -1,0 +1,46 @@
+"""Masked farthest-point sampling with static shapes.
+
+The reference calls pointops.farthest_point_sampling (CUDA) on a
+*dynamically sized* filtered point set (model/lifter/gaussian_lifter_v2.py:
+246-252). On TPU we keep the candidate set at its static size and mask
+invalid candidates out: they get distance -inf so they are only selected
+once every valid candidate has been taken.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def farthest_point_sampling(points, num_samples: int, valid_mask=None,
+                            start_idx: int = 0):
+    """Select ``num_samples`` indices spreading over the valid points.
+
+    points: [N, 3]; valid_mask: [N] bool (optional). Returns [num_samples]
+    int32 indices. Invalid points are suppressed (selected only if the
+    valid set is exhausted, mirroring the reference's pad-before-FPS which
+    guarantees enough candidates).
+    """
+    n = points.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
+    neg_inf = jnp.asarray(-jnp.inf, points.dtype)
+
+    # first point: first valid index (deterministic), or start_idx
+    first = jnp.argmax(valid_mask.astype(jnp.int32))
+    first = jnp.where(jnp.any(valid_mask), first, start_idx).astype(jnp.int32)
+
+    init_dist = jnp.where(valid_mask, jnp.inf, neg_inf)
+
+    def body(i, state):
+        dist, selected = state
+        last = selected[i - 1]
+        d = jnp.sum((points - points[last]) ** 2, axis=-1)
+        dist = jnp.minimum(dist, jnp.where(valid_mask, d, neg_inf))
+        nxt = jnp.argmax(dist).astype(jnp.int32)
+        return dist, selected.at[i].set(nxt)
+
+    selected0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+    _, selected = jax.lax.fori_loop(1, num_samples, body,
+                                    (init_dist, selected0))
+    return selected

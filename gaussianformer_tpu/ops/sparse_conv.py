@@ -1,0 +1,79 @@
+"""Submanifold sparse 3D convolution over a fixed-size anchor point set.
+
+The reference uses spconv's SubMConv3d on voxelized anchors
+(model/encoder/gaussian_encoder/spconv3d_module.py:10-83). On TPU, the
+anchor set has *static* size P, so submanifold convolution reduces to:
+
+  1. scatter anchor ids into a dense voxel→anchor index map (static grid),
+  2. for each kernel offset, gather the neighbor anchor's feature (or zero
+     when the neighbor voxel is empty),
+  3. accumulate ``feat[neighbor] @ W[offset]`` — one MXU matmul per offset.
+
+This exactly matches submanifold semantics (outputs only at input sites,
+neighbors looked up in voxel space). When several anchors voxelize to the
+same cell, the last writer wins for neighbor lookup (spconv builds a unique
+coordinate hash; collisions are likewise resolved arbitrarily there).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def voxel_indices(xyz, pc_range, grid_size):
+    """World xyz → int32 voxel coords (truncation, as the reference does:
+    spconv3d_module.py:64-66) plus the static grid shape."""
+    lo = jnp.asarray(pc_range[:3], dtype=xyz.dtype)
+    gs = jnp.asarray(grid_size, dtype=xyz.dtype)
+    idx = ((xyz - lo) / gs).astype(jnp.int32)
+    shape = tuple(
+        int((pc_range[i + 3] - pc_range[i]) / float(grid_size[i]))
+        for i in range(3)
+    )
+    hi = jnp.asarray([s - 1 for s in shape], jnp.int32)
+    return jnp.clip(idx, 0, hi), shape
+
+
+def submanifold_conv3d(features, coords, grid_shape, weights, bias=None):
+    """One submanifold conv layer.
+
+    features: [P, C_in] anchor features.
+    coords:   [P, 3] int voxel coords (in-bounds).
+    grid_shape: static (X, Y, Z).
+    weights:  [K, K, K, C_in, C_out] (K odd).
+    Returns [P, C_out].
+    """
+    p = features.shape[0]
+    k = weights.shape[0]
+    r = (k - 1) // 2
+    X, Y, Z = grid_shape
+
+    flat = (coords[:, 0] * Y + coords[:, 1]) * Z + coords[:, 2]
+    vox2anchor = jnp.full((X * Y * Z,), -1, jnp.int32).at[flat].set(
+        jnp.arange(p, dtype=jnp.int32))
+
+    c_out = weights.shape[-1]
+    out = jnp.zeros((p, c_out), jnp.float32)
+    # pad features with a zero row at index P for missing neighbors
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            for dz in range(-r, r + 1):
+                nb = coords + jnp.asarray([dx, dy, dz], jnp.int32)
+                in_bounds = ((nb[:, 0] >= 0) & (nb[:, 0] < X)
+                             & (nb[:, 1] >= 0) & (nb[:, 1] < Y)
+                             & (nb[:, 2] >= 0) & (nb[:, 2] < Z))
+                nb_flat = ((jnp.clip(nb[:, 0], 0, X - 1) * Y
+                            + jnp.clip(nb[:, 1], 0, Y - 1)) * Z
+                           + jnp.clip(nb[:, 2], 0, Z - 1))
+                nb_idx = vox2anchor[nb_flat]
+                nb_idx = jnp.where(in_bounds & (nb_idx >= 0), nb_idx, p)
+                nb_feat = feats_pad[nb_idx]
+                w = weights[dx + r, dy + r, dz + r]
+                out = out + jnp.dot(nb_feat, w,
+                                    preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
