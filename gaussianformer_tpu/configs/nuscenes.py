@@ -118,6 +118,7 @@ class GaussianFormerConfig:
     optim: OptimConfig = OptimConfig()
     data: DataConfig = DataConfig()
     empty_label: int = 17
+    compute_dtype: str = "bfloat16"   # backbone/neck compute precision
 
     @property
     def total_anchors(self) -> int:
@@ -146,12 +147,14 @@ class GaussianFormerConfig:
     # ---- module config dicts ------------------------------------------
     def backbone_cfg(self) -> dict:
         return dict(depth=101, out_indices=(0, 1, 2, 3), style="caffe",
-                    stage_with_dcn=(False, False, True, True), with_cp=True)
+                    stage_with_dcn=(False, False, True, True), with_cp=True,
+                    dtype=self.compute_dtype)
 
     def neck_cfg(self) -> dict:
         return dict(out_channels=self.embed_dims, num_outs=4, start_level=1,
                     add_extra_convs="on_output",
-                    relu_before_extra_convs=True)
+                    relu_before_extra_convs=True,
+                    dtype=self.compute_dtype)
 
     def lifter_cfg(self) -> dict:
         if self.version == 1:
@@ -166,7 +169,8 @@ class GaussianFormerConfig:
                     num_samples=self.num_depth_samples,
                     pc_range=self.pc_range,
                     random_samples=self.random_samples,
-                    empty_label=self.empty_label)
+                    empty_label=self.empty_label,
+                    initializer_dtype=self.compute_dtype)
 
     def encoder_cfg(self) -> dict:
         refine_cfg = dict(

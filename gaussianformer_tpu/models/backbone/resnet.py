@@ -47,7 +47,8 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((self.features,)))
         inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
-        return x * inv + (bias - mean.value * inv)
+        shift = bias - mean.value * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class DeformConv2d(nn.Module):
@@ -56,6 +57,7 @@ class DeformConv2d(nn.Module):
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -64,14 +66,17 @@ class DeformConv2d(nn.Module):
         # offset/mask conv — zero-init as in DCNv2
         om = nn.Conv(3 * k * k, (k, k), strides=(self.stride, self.stride),
                      padding=pad, kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros, name="conv_offset")(x)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="conv_offset")(x)
         offset, mask_logit = om[..., :2 * k * k], om[..., 2 * k * k:]
         mask = jax.nn.sigmoid(mask_logit)
         weight = self.param(
             "kernel", nn.initializers.he_normal(),
             (k, k, x.shape[-1], self.features))
-        return deform_conv2d(x, offset, mask, weight, stride=self.stride,
-                             padding=pad, dilation=self.dilation)
+        return deform_conv2d(
+            x, offset.astype(jnp.float32), mask.astype(jnp.float32),
+            weight.astype(self.dtype), stride=self.stride, padding=pad,
+            dilation=self.dilation)
 
 
 class Bottleneck(nn.Module):
@@ -81,6 +86,7 @@ class Bottleneck(nn.Module):
     style: str = "caffe"  # caffe: stride on 1x1; pytorch: stride on 3x3
     with_dcn: bool = False
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -88,29 +94,31 @@ class Bottleneck(nn.Module):
         s2 = 1 if self.style == "caffe" else self.stride
 
         out = nn.Conv(self.planes, (1, 1), strides=(s1, s1), use_bias=False,
-                      name="conv1")(x)
+                      dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
 
         if self.with_dcn:
             out = DeformConv2d(self.planes, 3, stride=s2,
-                               dilation=self.dilation, name="conv2")(out)
+                               dilation=self.dilation, dtype=self.dtype,
+                               name="conv2")(out)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=(s2, s2),
                           padding=self.dilation,
                           kernel_dilation=(self.dilation, self.dilation),
-                          use_bias=False, name="conv2")(out)
+                          use_bias=False, dtype=self.dtype,
+                          name="conv2")(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
 
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
 
         if self.downsample:
             idn = nn.Conv(self.planes * 4, (1, 1),
                           strides=(self.stride, self.stride), use_bias=False,
-                          name="downsample_conv")(x)
+                          dtype=self.dtype, name="downsample_conv")(x)
             idn = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(idn)
         else:
             idn = x
@@ -124,22 +132,23 @@ class BasicBlock(nn.Module):
     style: str = "pytorch"
     with_dcn: bool = False
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=self.dilation,
                       kernel_dilation=(self.dilation, self.dilation),
-                      use_bias=False, name="conv1")(x)
+                      use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      name="conv2")(out)
+                      dtype=self.dtype, name="conv2")(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         if self.downsample:
             idn = nn.Conv(self.planes, (1, 1),
                           strides=(self.stride, self.stride), use_bias=False,
-                          name="downsample_conv")(x)
+                          dtype=self.dtype, name="downsample_conv")(x)
             idn = FrozenBatchNorm(self.planes, name="downsample_bn")(idn)
         else:
             idn = x
@@ -156,10 +165,15 @@ class ResNet(nn.Module):
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     base_channels: int = 64
     with_cp: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        """x: [B, H, W, 3] → tuple of stage outputs (NHWC)."""
+        """x: [B, H, W, 3] → tuple of stage outputs (NHWC).
+
+        Compute runs in ``dtype`` (bf16 recommended on TPU); parameters and
+        BN statistics stay float32."""
+        x = x.astype(self.dtype)
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
         if self.with_cp:
@@ -167,7 +181,7 @@ class ResNet(nn.Module):
             block_cls = nn.remat(block_cls)
 
         x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(self.base_channels, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -187,7 +201,7 @@ class ResNet(nn.Module):
                     blk_stride != 1 or x.shape[-1] != planes * expansion)
                 x = block_cls(
                     planes=planes, stride=blk_stride, dilation=dilation,
-                    style=self.style, with_dcn=with_dcn,
+                    style=self.style, with_dcn=with_dcn, dtype=self.dtype,
                     downsample=need_ds, name=f"layer{i + 1}_{j}")(x)
             if i in self.out_indices:
                 outs.append(x)

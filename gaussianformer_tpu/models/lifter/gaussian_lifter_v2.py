@@ -70,6 +70,7 @@ class GaussianLifterV2(nn.Module):
     random_samples: int = 2400
     use_initializer: bool = True
     initializer_depth: int = 101
+    initializer_dtype: str = "float32"
     gt_bin_chunk: int = 16
 
     def _depth_bins(self):
@@ -87,6 +88,7 @@ class GaussianLifterV2(nn.Module):
             assert self.use_initializer
             feat = ResNetSecondFPN(
                 depth=self.initializer_depth,
+                dtype=self.initializer_dtype,
                 name="initialize_backbone")(
                 imgs.reshape((b * n,) + imgs.shape[2:]))
             secondfpn_out = feat.reshape((b, n) + feat.shape[1:])

@@ -18,14 +18,19 @@ class ResNetSecondFPN(nn.Module):
     with_cp: bool = True
     out_channels: Tuple[int, ...] = (128, 128, 128, 128)
     upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, imgs):
         """imgs: [B*N, H, W, 3] → [B*N, H/8, W/8, sum(out_channels)]."""
+        import jax.numpy as jnp
+        dt = jnp.dtype(self.dtype)
         feats = ResNet(
             depth=self.depth, out_indices=self.out_indices,
             style=self.style, stage_with_dcn=self.stage_with_dcn,
-            with_cp=self.with_cp, name="img_backbone")(imgs)
-        return SECONDFPN(
+            with_cp=self.with_cp, dtype=dt, name="img_backbone")(imgs)
+        out = SECONDFPN(
             out_channels=self.out_channels,
-            upsample_strides=self.upsample_strides, name="img_neck")(feats)
+            upsample_strides=self.upsample_strides, dtype=dt,
+            name="img_neck")(feats)
+        return out.astype(jnp.float32)

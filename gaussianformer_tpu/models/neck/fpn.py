@@ -28,6 +28,7 @@ class FPN(nn.Module):
     start_level: int = 1
     add_extra_convs: str = "on_output"
     relu_before_extra_convs: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
@@ -35,7 +36,8 @@ class FPN(nn.Module):
         num_backbone = len(used)
 
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(x)
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(x)
             for i, x in enumerate(used)
         ]
         for i in range(num_backbone - 1, 0, -1):
@@ -43,7 +45,7 @@ class FPN(nn.Module):
                 laterals[i], laterals[i - 1].shape[1:3])
 
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=1,
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name=f"fpn_conv_{i}")(laterals[i])
             for i in range(num_backbone)
         ]
@@ -59,5 +61,6 @@ class FPN(nn.Module):
                     src = nn.relu(src)
                 outs.append(
                     nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                            padding=1, name=f"extra_conv_{i}")(src))
+                            padding=1, dtype=self.dtype,
+                            name=f"extra_conv_{i}")(src))
         return tuple(outs)

@@ -22,6 +22,7 @@ from ..backbone.resnet import FrozenBatchNorm
 class SECONDFPN(nn.Module):
     out_channels: Tuple[int, ...] = (128, 128, 128, 128)
     upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array]) -> jax.Array:
@@ -32,11 +33,12 @@ class SECONDFPN(nn.Module):
             if stride >= 1:
                 s = int(stride)
                 y = nn.ConvTranspose(ch, (s, s), strides=(s, s),
-                                     use_bias=False,
+                                     use_bias=False, dtype=self.dtype,
                                      name=f"deblock_{i}_deconv")(x)
             else:
                 s = int(round(1.0 / stride))
                 y = nn.Conv(ch, (s, s), strides=(s, s), use_bias=False,
+                            dtype=self.dtype,
                             name=f"deblock_{i}_conv")(x)
             y = FrozenBatchNorm(ch, epsilon=1e-3, name=f"deblock_{i}_bn")(y)
             y = nn.relu(y)

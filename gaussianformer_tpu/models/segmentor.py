@@ -46,10 +46,15 @@ class BEVSegmentor(nn.Module):
 
         # ---- image feature extraction (bev_segmentor.py:40-69)
         flat = imgs.reshape((b * n,) + imgs.shape[2:])
-        stage_feats = ResNet(**(self.backbone_cfg or {}),
-                             name="img_backbone")(flat)
+        backbone_cfg = dict(self.backbone_cfg or {})
+        neck_cfg = dict(self.neck_cfg or {})
+        if "dtype" in backbone_cfg:
+            backbone_cfg["dtype"] = jnp.dtype(backbone_cfg["dtype"])
+        if "dtype" in neck_cfg:
+            neck_cfg["dtype"] = jnp.dtype(neck_cfg["dtype"])
+        stage_feats = ResNet(**backbone_cfg, name="img_backbone")(flat)
         stage_feats = [stage_feats[i] for i in self.img_backbone_out_indices]
-        ms_feats = FPN(**(self.neck_cfg or {}), name="img_neck")(stage_feats)
+        ms_feats = FPN(**neck_cfg, name="img_neck")(stage_feats)
         ms_img_feats = [
             f.reshape((b, n) + f.shape[1:]) for f in ms_feats
         ]

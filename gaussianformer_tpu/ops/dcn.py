@@ -1,14 +1,21 @@
-"""Deformable convolution v2 (modulated) as bilinear gather + matmul.
+"""Deformable convolution v2 (modulated) as one fused bilinear gather +
+matmul.
 
 Needed for checkpoint fidelity with the reference's ResNet-101 backbone
 (DCNv2 in stages 3-4, config/nuscenes_gs144000.py:91). Instead of the mmcv
 CUDA op we compute, for each of the K*K taps, bilinearly sampled inputs at
 ``p + p_k + Δp_k`` scaled by the modulation mask, then contract with the
-kernel weights — a K*K-tap gather followed by one MXU matmul.
+kernel weights.
+
+TPU design note: all taps and all four bilinear corners are flattened into
+a single gather of rows from the [H*W, C] image (keeping C on the lane
+dimension), so each deformable conv lowers to exactly one gather plus one
+MXU matmul — XLA compile time and runtime both scale with the number of
+gather ops, not the number of taps.
 
 Offset layout matches torchvision/mmcv ModulatedDeformConv2d: the offset
 conv produces [2*K*K] channels ordered (dy_0, dx_0, dy_1, dx_1, ...) and
-[K*K] mask logits (sigmoid applied here).
+[K*K] mask logits (sigmoid applied by the caller).
 """
 from __future__ import annotations
 
@@ -16,35 +23,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_hw(img, y, x):
-    """img: [H, W, C]; y, x: [...] absolute pixel coords. Zero padding."""
-    h, w, _ = img.shape
-    y0 = jnp.floor(y)
-    x0 = jnp.floor(x)
-    ly = y - y0
-    lx = x - x0
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-
-    def corner(yi, xi):
-        valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
-        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
-        return v * valid[..., None]
-
-    v00 = corner(y0, x0)
-    v01 = corner(y0, x0 + 1)
-    v10 = corner(y0 + 1, x0)
-    v11 = corner(y0 + 1, x0 + 1)
-    return (v00 * ((1 - ly) * (1 - lx))[..., None]
-            + v01 * ((1 - ly) * lx)[..., None]
-            + v10 * (ly * (1 - lx))[..., None]
-            + v11 * (ly * lx)[..., None])
-
-
 def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
                   padding: int = 1, dilation: int = 1):
-    """Modulated deformable conv (DCNv2), NHWC single image batch handled
-    via vmap by the caller's module.
+    """Modulated deformable conv (DCNv2), NHWC.
 
     x:      [B, H, W, C_in]
     offset: [B, H_out, W_out, 2*K*K]  (dy, dx interleaved per tap)
@@ -55,30 +36,54 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
     k = weight.shape[0]
     h_out = offset.shape[1]
     w_out = offset.shape[2]
+    kk = k * k
 
-    base_y = jnp.arange(h_out) * stride - padding
-    base_x = jnp.arange(w_out) * stride - padding
-    gy = base_y[:, None]  # [H_out, 1]
-    gx = base_x[None, :]  # [1, W_out]
+    base_y = (jnp.arange(h_out, dtype=jnp.float32) * stride - padding)
+    base_x = (jnp.arange(w_out, dtype=jnp.float32) * stride - padding)
+    tap_y = (jnp.arange(k, dtype=jnp.float32) * dilation)
+    tap_x = (jnp.arange(k, dtype=jnp.float32) * dilation)
+    # [H_out, W_out, K*K] static tap positions; tap t = ky * K + kx
+    tap_y_full = jnp.repeat(tap_y, k)   # [kk]: ky per tap
+    tap_x_full = jnp.tile(tap_x, k)     # [kk]: kx per tap
+    grid_y = base_y[:, None, None] + tap_y_full[None, None, :] \
+        + jnp.zeros((1, w_out, 1))
+    grid_x = base_x[None, :, None] + tap_x_full[None, None, :] \
+        + jnp.zeros((h_out, 1, 1))
 
-    def single(img, off, m):
-        cols = []
-        for ky in range(k):
-            for kx in range(k):
-                t = ky * k + kx
-                dy = off[..., 2 * t]
-                dx = off[..., 2 * t + 1]
-                sy = gy + ky * dilation + dy
-                sx = gx + kx * dilation + dx
-                v = _bilinear_hw(img, sy, sx)  # [H_out, W_out, C_in]
-                cols.append(v * m[..., t:t + 1])
-        cols = jnp.stack(cols, axis=-2)  # [H_out, W_out, K*K, C_in]
-        wmat = weight.reshape(k * k * c_in, -1)
-        out = jnp.dot(cols.reshape(h_out, w_out, k * k * c_in), wmat,
+    off = offset.reshape(b, h_out, w_out, kk, 2)
+    sy = grid_y[None] + off[..., 0]
+    sx = grid_x[None] + off[..., 1]
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    ly = sy - y0
+    lx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # corner indices and weights, flattened together: [..., K*K, 4]
+    ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)
+    cw = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                    ly * (1 - lx), ly * lx], axis=-1)
+    valid = ((ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1))
+    cw = cw * valid
+
+    flat_idx = (jnp.clip(ys, 0, h - 1) * w
+                + jnp.clip(xs, 0, w - 1))  # [B, H_out, W_out, K*K, 4]
+
+    def single(img_flat, idx, wgt, m):
+        # img_flat [H*W, C]; idx/wgt [H_out, W_out, K*K, 4]; m [..., K*K]
+        g = img_flat[idx.reshape(-1)]  # one gather: [H_out*W_out*K*K*4, C]
+        g = g.reshape(h_out, w_out, kk, 4, c_in)
+        v = jnp.sum(g * wgt[..., None], axis=-2)  # [H_out, W_out, KK, C]
+        v = v * m[..., None]
+        out = jnp.dot(v.reshape(h_out, w_out, kk * c_in),
+                      weight.reshape(kk * c_in, -1),
                       preferred_element_type=jnp.float32)
         return out
 
-    out = jax.vmap(single)(x, offset, mask)
+    out = jax.vmap(single)(x.reshape(b, h * w, c_in), flat_idx, cw, mask)
     if bias is not None:
         out = out + bias
     return out

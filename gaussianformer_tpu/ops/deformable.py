@@ -88,8 +88,10 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
         loc = jnp.swapaxes(points_2d, 1, 2)  # [B, cams, Q, 2]
         vals = sample(feat, loc)  # [B, cams, Q, C]
         vals = jnp.swapaxes(vals, 1, 2)  # [B, Q, cams, C]
-        vals = vals * inside[..., None]
+        vals = vals * inside[..., None].astype(vals.dtype)
         w_l = weights[:, :, :, lvl, :]  # [B, Q, cams, G]
         vals = vals.reshape(b, q, num_cams, num_groups, gdim)
-        out = out + jnp.einsum("bqkgd,bqkg->bqgd", vals, w_l).reshape(b, q, c)
+        out = out + jnp.einsum(
+            "bqkgd,bqkg->bqgd", vals.astype(jnp.float32),
+            w_l.astype(jnp.float32)).reshape(b, q, c)
     return out

@@ -1,0 +1,202 @@
+"""Pallas TPU kernel for the Gaussian → voxel splat.
+
+One fused kernel replaces the reference's five-stage CUDA binning pipeline
+(localagg*/src/aggregator_impl.cu: preprocess → scan → duplicate →
+radix-sort → render): the grid iterates over voxel tiles; the full
+(x-sorted) Gaussian table lives in VMEM; per tile an inner loop walks
+Gaussian chunks and *skips chunks whose AABB cannot overlap the tile*
+(scalar-prefetched bounds — the TPU analog of the CUDA voxel binning).
+
+Per (tile, chunk) block:
+
+    d           = mu - x  (per axis, VPU broadcasts — computing the
+                  exponent from the displacement avoids the catastrophic
+                  cancellation a phi(x)·psi(g) matmul would hit in low
+                  precision)
+    power       = exp(-1/2 d^T A d) * aabb_mask          (VPU)
+    acc        += power @ [sem*w, w, 1]                  (MXU — semantics,
+                  prob_sum and density in one augmented matmul)
+    one_minus  *= prod(1 - power)                        (VPU — the
+                  superposition product, linear space like forward.cu:88)
+
+The kernel returns raw accumulators; normalization / uniform-fallback and
+the backward pass are shared with the XLA path (ops/splat.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
+            pts_ref, pts_int_ref, gdata_ref, box_ref, sem_aug_ref,
+            acc_ref, om_ref, *, num_chunks: int, chunk_g: int,
+            needs_om: bool, prune: bool = True):
+    i = pl.program_id(0)
+    tile_n = pts_ref.shape[0]
+    c_aug = sem_aug_ref.shape[1]
+
+    t_lo_x = tile_bounds_ref[i, 0]
+    t_lo_y = tile_bounds_ref[i, 1]
+    t_lo_z = tile_bounds_ref[i, 2]
+    t_hi_x = tile_bounds_ref[i, 4]
+    t_hi_y = tile_bounds_ref[i, 5]
+    t_hi_z = tile_bounds_ref[i, 6]
+
+    x = pts_ref[:, 0:1]                   # [tile_n, 1] float
+    y = pts_ref[:, 1:2]
+    z = pts_ref[:, 2:3]
+    px = pts_int_ref[:, 0:1]              # [tile_n, 1] int
+    py = pts_int_ref[:, 1:2]
+    pz = pts_int_ref[:, 2:3]
+
+    def body(j, carry):
+        acc, om = carry
+        if prune:
+            overlap = (
+                (chunk_bounds_ref[j, 0] <= t_hi_x)
+                & (chunk_bounds_ref[j, 4] >= t_lo_x)
+                & (chunk_bounds_ref[j, 1] <= t_hi_y)
+                & (chunk_bounds_ref[j, 5] >= t_lo_y)
+                & (chunk_bounds_ref[j, 2] <= t_hi_z)
+                & (chunk_bounds_ref[j, 6] >= t_lo_z)
+            )
+        else:
+            overlap = jnp.bool_(True)
+
+        def compute(carry):
+            acc, om = carry
+            start = j * chunk_g
+            # gaussian data is stored transposed ([row, P]) so each chunk
+            # slice is a lane-aligned [1, Pc] row — no sublane→lane
+            # transposes inside the loop.
+            g = gdata_ref[:, pl.ds(start, chunk_g)]         # [16, Pc]
+            box_c = box_ref[:, pl.ds(start, chunk_g)]       # [8, Pc] int32
+            sem_c = sem_aug_ref[pl.ds(start, chunk_g), :]   # [Pc, C+2]
+
+            dx = g[0:1, :] - x                               # [tile_n, Pc]
+            dy = g[1:2, :] - y
+            dz = g[2:3, :] - z
+            quad = (g[3:4, :] * dx * dx
+                    + g[4:5, :] * dy * dy
+                    + g[5:6, :] * dz * dz)
+            logit = (-0.5 * quad
+                     - (g[6:7, :] * dx * dy
+                        + g[7:8, :] * dy * dz
+                        + g[8:9, :] * dx * dz))
+
+            mask = ((jnp.abs(px - box_c[0:1, :]) <= box_c[3:4, :])
+                    & (jnp.abs(py - box_c[1:2, :]) <= box_c[4:5, :])
+                    & (jnp.abs(pz - box_c[2:3, :]) <= box_c[5:6, :]))
+
+            power = jnp.exp(jnp.minimum(logit, 30.0)) * mask
+
+            acc = acc + jax.lax.dot_general(
+                power, sem_c, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            if needs_om:
+                # log-space product (Mosaic has no reduce_prod); exact at
+                # the power→1 pole: log(0) = -inf → exp(-inf) = 0.
+                om = om + jnp.sum(jnp.log1p(-power), axis=1, keepdims=True)
+            return acc, om
+
+        return jax.lax.cond(overlap, compute, lambda c: c, (acc, om))
+
+    acc0 = jnp.zeros((tile_n, c_aug), jnp.float32)
+    om0 = jnp.zeros((tile_n, 1), jnp.float32)
+    acc, om_log = jax.lax.fori_loop(0, num_chunks, body, (acc0, om0))
+    acc_ref[:] = acc
+    om_ref[:] = jnp.exp(om_log)
+
+
+def _pad_rows(x, rows, value=0.0):
+    pad = rows - x.shape[0]
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
+                     chunk_g: int = 512, needs_om: bool = True,
+                     interpret: bool = False, prune: bool = True):
+    """Raw splat accumulators for one batch element.
+
+    pts:     [N, 4]   float32 query points (xyz, pad).
+    pts_int: [N, 4]   int32 voxel coords (col 3 unused).
+    gdata:   [P, 16]  float32 [mu(3), ixx, iyy, izz, ixy, iyz, ixz, 0...].
+    box:     [P, 8]   int32 [mx, my, mz, rx, ry, rz, 0, 0]; dummy rows
+                      must use radii -1 so they never match.
+    sem_aug: [P, C+2] [sem * w, w, 1] (prob) or [sem * opa, ...] (additive).
+
+    Returns (acc [N, C+2], one_minus [N]).
+    """
+    n, p = pts.shape[0], gdata.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    p_pad = -(-p // chunk_g) * chunk_g
+    num_tiles = n_pad // tile_n
+    num_chunks = p_pad // chunk_g
+
+    pts = _pad_rows(pts, n_pad)
+    pts_int = _pad_rows(pts_int, n_pad, value=-(10 ** 6))
+    gdata = _pad_rows(gdata, p_pad)
+    box = _pad_rows(box, p_pad, value=-1)
+    sem_aug = _pad_rows(sem_aug, p_pad)
+    gdata_t = gdata.T                    # [16, P]
+    box_t = box.T                        # [8, P]
+
+    # per-tile bounds (lo over valid rows only: sentinels pushed to +inf
+    # for the min; the max ignores the -1e6 sentinels naturally)
+    pi3 = pts_int[:, :3].reshape(num_tiles, tile_n, 3)
+    lo = jnp.min(jnp.where(pi3 < -(10 ** 5), 10 ** 6, pi3), axis=1)
+    hi = jnp.max(pi3, axis=1)
+    zero = jnp.zeros((num_tiles, 1), jnp.int32)
+    tile_bounds = jnp.concatenate(
+        [lo, zero, hi, zero], axis=-1).astype(jnp.int32)
+
+    glo = (box[:, :3] - box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
+    ghi = (box[:, :3] + box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
+    zero_c = jnp.zeros((num_chunks, 1), jnp.int32)
+    chunk_bounds = jnp.concatenate(
+        [jnp.min(glo, axis=1), zero_c, jnp.max(ghi, axis=1), zero_c],
+        axis=-1).astype(jnp.int32)
+
+    c_aug = sem_aug.shape[1]
+    kernel = functools.partial(_kernel, num_chunks=num_chunks,
+                               chunk_g=chunk_g, needs_om=needs_om,
+                               prune=prune)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, 4), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 4), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gdata_t (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # box_t (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sem_aug (full)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, c_aug), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    acc, om = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_aug), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_bounds, chunk_bounds, pts, pts_int, gdata_t, box_t, sem_aug)
+    return acc[:n], om[:n, 0]

@@ -53,27 +53,32 @@ def submanifold_conv3d(features, coords, grid_shape, weights, bias=None):
         jnp.arange(p, dtype=jnp.int32))
 
     c_out = weights.shape[-1]
-    out = jnp.zeros((p, c_out), jnp.float32)
     # pad features with a zero row at index P for missing neighbors
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
 
-    for dx in range(-r, r + 1):
-        for dy in range(-r, r + 1):
-            for dz in range(-r, r + 1):
-                nb = coords + jnp.asarray([dx, dy, dz], jnp.int32)
-                in_bounds = ((nb[:, 0] >= 0) & (nb[:, 0] < X)
-                             & (nb[:, 1] >= 0) & (nb[:, 1] < Y)
-                             & (nb[:, 2] >= 0) & (nb[:, 2] < Z))
-                nb_flat = ((jnp.clip(nb[:, 0], 0, X - 1) * Y
-                            + jnp.clip(nb[:, 1], 0, Y - 1)) * Z
-                           + jnp.clip(nb[:, 2], 0, Z - 1))
-                nb_idx = vox2anchor[nb_flat]
-                nb_idx = jnp.where(in_bounds & (nb_idx >= 0), nb_idx, p)
-                nb_feat = feats_pad[nb_idx]
-                w = weights[dx + r, dy + r, dz + r]
-                out = out + jnp.dot(nb_feat, w,
-                                    preferred_element_type=jnp.float32)
+    offs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), jnp.arange(-r, r + 1),
+        indexing="ij"), axis=-1).reshape(-1, 3).astype(jnp.int32)
+    w_flat = weights.reshape(k * k * k, weights.shape[-2], c_out)
+
+    def body(acc, xs):
+        off, w = xs
+        nb = coords + off[None, :]
+        in_bounds = jnp.all(
+            (nb >= 0) & (nb < jnp.asarray([X, Y, Z], jnp.int32)), axis=-1)
+        nb_flat = ((jnp.clip(nb[:, 0], 0, X - 1) * Y
+                    + jnp.clip(nb[:, 1], 0, Y - 1)) * Z
+                   + jnp.clip(nb[:, 2], 0, Z - 1))
+        nb_idx = vox2anchor[nb_flat]
+        nb_idx = jnp.where(in_bounds & (nb_idx >= 0), nb_idx, p)
+        nb_feat = feats_pad[nb_idx]
+        return acc + jnp.dot(nb_feat, w,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((p, c_out), jnp.float32),
+                          (offs, w_flat))
     if bias is not None:
         out = out + bias
     return out

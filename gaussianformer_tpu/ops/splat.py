@@ -125,13 +125,13 @@ def _pad_to(x, size, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _chunk_step(phi, pts_int, psi, means_int, radii, opa_norm, opa, sem,
+def _chunk_step(pts, pts_int, gdata, means_int, radii, opa_norm, opa, sem,
                 variant: str):
     """Dense computation for one (voxel-tile, gaussian-chunk) block.
 
-    phi:       [Nt, 10] float point features
+    pts:       [Nt, 3]  float query points
     pts_int:   [Nt, 3]  int voxel coords
-    psi:       [Pc, 10] gaussian coefficients
+    gdata:     [Pc, 9]  [mu(3), cov_inv6] per gaussian
     means_int: [Pc, 3]  int voxel coords of means
     radii:     [Pc, 3]  int AABB radii (already broadcast per-axis)
     opa_norm:  [Pc]     (2pi)^-1.5 sqrt(det A) * opa  (prob) — unused additive
@@ -139,13 +139,25 @@ def _chunk_step(phi, pts_int, psi, means_int, radii, opa_norm, opa, sem,
     sem:       [Pc, C]
 
     Returns per-block partial outputs (to be accumulated / multiplied).
+
+    The exponent is computed from the displacement d = mu - x (never from a
+    monomial-feature matmul): at world-scale coordinates the phi(x)·psi(g)
+    decomposition cancels ~1e6-magnitude terms down to O(10) and loses
+    ~1e-1 absolute in fp32, which is a >10% error after exp.
     """
-    power_logit = jnp.dot(phi, psi.T, precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
+    dx = gdata[None, :, 0] - pts[:, None, 0]
+    dy = gdata[None, :, 1] - pts[:, None, 1]
+    dz = gdata[None, :, 2] - pts[:, None, 2]
+    power_logit = (-0.5 * (gdata[None, :, 3] * dx * dx
+                           + gdata[None, :, 4] * dy * dy
+                           + gdata[None, :, 5] * dz * dz)
+                   - (gdata[None, :, 6] * dx * dy
+                      + gdata[None, :, 7] * dy * dz
+                      + gdata[None, :, 8] * dx * dz))
     # AABB mask: |pt_int - mean_int| <= radii, per axis (getRect semantics).
     diff = jnp.abs(pts_int[:, None, :] - means_int[None, :, :])
     mask = jnp.all(diff <= radii[None, :, :], axis=-1)
-    power = jnp.exp(jnp.minimum(power_logit, 0.0)) * mask
+    power = jnp.exp(jnp.minimum(power_logit, 30.0)) * mask
 
     if variant == "additive":
         sem_acc = jnp.dot(power * opa[None, :], sem,
@@ -173,15 +185,14 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
     n_pad = -(-n // tile_n) * tile_n
     p_pad = -(-p // chunk_g) * chunk_g
 
-    phi = point_features(points)
-    psi = gaussian_coefficients(means, cov_inv6)
+    gdata = jnp.concatenate([means, cov_inv6], axis=-1)  # [P, 9]
     det = det_compact(cov_inv6)
     # guard: dummy/degenerate gaussians get det clamped to keep sqrt finite
     opa_norm = _NORM_3D * jnp.sqrt(jnp.maximum(det, 1e-30)) * opacities
 
-    phi = _pad_to(phi, n_pad, 0)
+    pts = _pad_to(points, n_pad, 0)
     pts_int = _pad_to(points_int, n_pad, 0, value=-(10 ** 6))
-    psi = _pad_to(psi, p_pad, 0)
+    gdata = _pad_to(gdata, p_pad, 0)
     means_int = _pad_to(means_int, p_pad, 0, value=-(10 ** 6))
     radii_p = _pad_to(radii, p_pad, 0, value=-1)
     opa_norm = _pad_to(opa_norm, p_pad, 0)
@@ -191,9 +202,9 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
     num_tiles = n_pad // tile_n
     num_chunks = p_pad // chunk_g
 
-    phi_t = phi.reshape(num_tiles, tile_n, 10)
+    phi_t = pts.reshape(num_tiles, tile_n, 3)
     pts_int_t = pts_int.reshape(num_tiles, tile_n, 3)
-    psi_c = psi.reshape(num_chunks, chunk_g, 10)
+    psi_c = gdata.reshape(num_chunks, chunk_g, 9)
     means_int_c = means_int.reshape(num_chunks, chunk_g, 3)
     radii_c = radii_p.reshape(num_chunks, chunk_g, 3)
     opa_norm_c = opa_norm.reshape(num_chunks, chunk_g)
@@ -256,7 +267,9 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
 def splat(points, means, opacities, semantics, scales, cov_inv6,
           grid: SplatGridSpec, *, variant: str = "prob",
           per_axis_radii: bool = True, tile_n: int = 8192,
-          chunk_g: int = 512):
+          chunk_g: int = 512, backend: str = "auto",
+          pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
+          interpret: bool = False):
     """Batched Gaussian→voxel splat.
 
     Args:
@@ -268,11 +281,23 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
       cov_inv6:  [B, P, 6] inverse covariance, compact symmetric layout.
       variant:   "additive" (v1) or "prob" (v2 GMM superposition).
       per_axis_radii: anisotropic AABB (localagg_prob_fast) vs isotropic.
+      backend:   "xla" (chunked lax.scan), "pallas" (fused TPU kernel with
+                 chunk-level AABB skipping), or "auto" (pallas on TPU).
 
     Returns:
       additive: (logits [B, N, C],)
       prob:     (logits [B, N, C], bin_logits [B, N], density [B, N])
     """
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                   else "xla")
+    if backend == "pallas":
+        return _splat_pallas(points, means, opacities, semantics, scales,
+                             cov_inv6, grid, variant=variant,
+                             per_axis_radii=per_axis_radii,
+                             tile_n=pallas_tile_n, chunk_g=pallas_chunk_g,
+                             interpret=interpret)
+
     points = jax.lax.stop_gradient(points)
     points_int = grid.voxelize(points)
     means_int = grid.voxelize(jax.lax.stop_gradient(means))
@@ -282,6 +307,113 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
         _splat_single, variant=variant, tile_n=tile_n, chunk_g=chunk_g)
     return jax.vmap(fn)(points, points_int, means, means_int, opacities,
                         semantics, radii, cov_inv6)
+
+
+# ---------------------------------------------------------------------------
+# Pallas path: fused forward kernel + XLA-recompute backward (custom VJP).
+# ---------------------------------------------------------------------------
+def _postprocess_prob(acc, one_minus, c: int):
+    """(acc [N, C+2], one_minus [N]) → (logits, bin_logits, density)."""
+    sem_acc = acc[:, :c]
+    prob_sum = acc[:, c]
+    density = acc[:, c + 1]
+    covered = prob_sum > 1e-9
+    denom = jnp.where(covered, prob_sum, 1.0)
+    uniform = jnp.full((c,), 1.0 / (c - 1), jnp.float32).at[c - 1].set(0.0)
+    logits = jnp.where(covered[:, None], sem_acc / denom[:, None],
+                       uniform[None, :])
+    return logits, 1.0 - one_minus, density
+
+
+def _pack_gaussians(points, means, opacities, semantics, scales, cov_inv6,
+                    grid: SplatGridSpec, variant: str, per_axis_radii: bool):
+    """Per-batch packing: phi/pts_int for points; x-sorted psi/box/sem_aug
+    for gaussians (sorting gives the chunk-skip test spatial locality)."""
+    points_int = grid.voxelize(points)
+    means_int = grid.voxelize(jax.lax.stop_gradient(means))
+    radii = grid.radii(scales, per_axis=per_axis_radii)
+
+    def pack_one(pts, pts_int, mu, mu_int, rad, opa, sem, cov6):
+        order = jnp.argsort(mu_int[:, 0])
+        mu, mu_int = mu[order], mu_int[order]
+        rad = rad[order]
+        opa, sem, cov6 = opa[order], sem[order], cov6[order]
+
+        pts4 = jnp.concatenate(
+            [pts, jnp.zeros_like(pts[:, :1])], axis=-1)
+        pint = jnp.concatenate(
+            [pts_int, jnp.zeros_like(pts_int[:, :1])], axis=-1)
+        gdata = _pad_to(jnp.concatenate([mu, cov6], axis=-1), 16, 1)
+        box = jnp.concatenate(
+            [mu_int, rad, jnp.zeros_like(mu_int[:, :2])],
+            axis=-1).astype(jnp.int32)
+        if variant == "prob":
+            det = det_compact(cov6)
+            w = _NORM_3D * jnp.sqrt(jnp.maximum(det, 1e-30)) * opa
+        else:
+            w = opa
+        sem_aug = jnp.concatenate(
+            [sem * w[:, None], w[:, None], jnp.ones_like(w[:, None])],
+            axis=-1)
+        return pts4, pint, gdata, box, sem_aug
+
+    return jax.vmap(pack_one)(points, points_int, means, means_int, radii,
+                              opacities, semantics, cov_inv6)
+
+
+def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
+                           cov_inv6, grid, variant, per_axis_radii, tile_n,
+                           chunk_g, interpret):
+    from .pallas.splat_kernel import splat_raw_pallas
+    c = semantics.shape[-1]
+    pts4, pint, gdata, box, sem_aug = _pack_gaussians(
+        points, means, opacities, semantics, scales, cov_inv6, grid,
+        variant, per_axis_radii)
+    needs_om = variant == "prob"
+    outs = []
+    for bi in range(points.shape[0]):
+        acc, om = splat_raw_pallas(
+            pts4[bi], pint[bi], gdata[bi], box[bi], sem_aug[bi],
+            tile_n=tile_n, chunk_g=chunk_g, needs_om=needs_om,
+            interpret=interpret)
+        if variant == "prob":
+            outs.append(_postprocess_prob(acc, om, c))
+        else:
+            outs.append((acc[:, :c],))
+    return tuple(jnp.stack([o[k] for o in outs])
+                 for k in range(len(outs[0])))
+
+
+def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
+                  grid, *, variant, per_axis_radii, tile_n, chunk_g,
+                  interpret):
+    """Pallas forward with a custom VJP whose backward differentiates the
+    (mathematically identical) XLA path — exact gradients, no hand-derived
+    backward kernel required."""
+
+    @jax.custom_vjp
+    def f(means, opacities, semantics, cov_inv6):
+        return _splat_pallas_fwd_only(
+            points, means, opacities, semantics, scales, cov_inv6, grid,
+            variant, per_axis_radii, tile_n, chunk_g, interpret)
+
+    def f_fwd(means, opacities, semantics, cov_inv6):
+        return (f(means, opacities, semantics, cov_inv6),
+                (means, opacities, semantics, cov_inv6))
+
+    def f_bwd(res, g):
+        means, opacities, semantics, cov_inv6 = res
+
+        def xla_fn(means, opacities, semantics, cov_inv6):
+            return splat(points, means, opacities, semantics, scales,
+                         cov_inv6, grid, variant=variant,
+                         per_axis_radii=per_axis_radii, backend="xla")
+
+        _, vjp = jax.vjp(xla_fn, means, opacities, semantics, cov_inv6)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(means, opacities, semantics, cov_inv6)
 
 
 def splat_dense_reference(points, means, opacities, semantics, scales,

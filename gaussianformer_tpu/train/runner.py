@@ -1,0 +1,201 @@
+"""Training / evaluation runners (reference train.py / eval.py).
+
+The hot loop is one jitted, mesh-sharded train step; the host loop does
+data feeding, logging, checkpointing, and per-epoch eval — matching the
+reference flow (train.py:185-332) without DDP machinery.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.nuscenes import GaussianFormerConfig
+from ..metrics.mean_iou import MeanIoU
+from ..models.segmentor import BEVSegmentor
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                save_checkpoint)
+from .optim import build_optimizer
+from .step import build_loss, make_eval_step, optax_global_norm
+from .train_state import create_train_state
+
+logger = logging.getLogger("gaussianformer_tpu")
+
+
+def setup_logging(work_dir: Optional[str] = None):
+    handlers = [logging.StreamHandler()]
+    if work_dir:
+        os.makedirs(work_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(
+            os.path.join(work_dir, "train.log")))
+    logging.basicConfig(level=logging.INFO, handlers=handlers,
+                        format="%(asctime)s %(levelname)s %(message)s",
+                        force=True)
+
+
+class Trainer:
+    def __init__(self, cfg: GaussianFormerConfig, train_loader, val_loader,
+                 work_dir: str, *, seed: int = 0, print_freq: int = 50,
+                 grad_accumulation: int = 1, use_mesh: bool = True):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.work_dir = work_dir
+        self.print_freq = print_freq
+        self.grad_accumulation = grad_accumulation
+        self.model = BEVSegmentor(**cfg.segmentor_cfg())
+        self.loss_fn = build_loss(cfg)
+        self.rng = jax.random.PRNGKey(seed)
+        self.mesh = make_mesh() if use_mesh else None
+
+        self.epoch = 0
+        self.global_iter = 0
+        self._state = None
+
+    # -------------------------------------------------------------- setup
+    def init_state(self, example_batch):
+        rng = self.rng
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(example_batch["imgs"]),
+            jnp.asarray(example_batch["projection_mat"]),
+            jnp.asarray(example_batch["image_wh"]),
+            occ_xyz=jnp.asarray(example_batch["occ_xyz"]),
+            occ_label=jnp.asarray(example_batch["occ_label"]),
+            occ_cam_mask=jnp.asarray(example_batch["occ_cam_mask"]),
+            training=True, rng=rng)
+        total_steps = len(self.train_loader) * self.cfg.optim.max_epochs
+        frozen = []
+        if self.cfg.freeze_lifter:
+            # reference freeze_lifter keeps random_anchors trainable
+            # (bev_segmentor.py:40-46); freeze the initializer tower and
+            # learned anchors but not random_anchors.
+            frozen += ["lifter/initialize_backbone", "lifter/projection",
+                       "lifter/anchor", "lifter/instance_feature"]
+        tx, self.schedule = build_optimizer(
+            variables["params"], self.cfg.optim.lr, total_steps,
+            weight_decay=self.cfg.optim.weight_decay,
+            backbone_lr_mult=self.cfg.optim.backbone_lr_mult,
+            grad_max_norm=self.cfg.optim.grad_max_norm,
+            warmup_steps=self.cfg.optim.warmup_iters,
+            min_lr_ratio=self.cfg.optim.min_lr_ratio,
+            frozen_prefixes=tuple(frozen))
+        state = create_train_state(variables, tx)
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        self._state = state
+        self._make_steps()
+        return state
+
+    def _make_steps(self):
+        model, loss_fn = self.model, self.loss_fn
+
+        def train_step(state, batch, rng):
+            def compute_loss(params):
+                out = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["imgs"], batch["projection_mat"],
+                    batch["image_wh"], occ_xyz=batch["occ_xyz"],
+                    occ_label=batch["occ_label"],
+                    occ_cam_mask=batch["occ_cam_mask"],
+                    training=True, rng=rng,
+                    rngs={"dropout": jax.random.fold_in(rng, 1)})
+                loss, logs = loss_fn(out)
+                return loss, logs
+
+            (loss, logs), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads)
+            metrics = {"loss": loss, **logs,
+                       "grad_norm": optax_global_norm(grads)}
+            return new_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = make_eval_step(model)
+
+    # ------------------------------------------------------------- resume
+    def try_resume(self):
+        path = latest_checkpoint(self.work_dir)
+        if path is None or self._state is None:
+            return False
+        restored = load_checkpoint(path, {
+            "params": self._state.params,
+            "batch_stats": self._state.batch_stats,
+            "opt_state": self._state.opt_state,
+            "epoch": 0, "global_iter": 0,
+        })
+        self._state = self._state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"])
+        self.epoch = int(restored["epoch"])
+        self.global_iter = int(restored["global_iter"])
+        logger.info("resumed from %s at epoch %d iter %d", path, self.epoch,
+                    self.global_iter)
+        return True
+
+    def save(self):
+        save_checkpoint(self.work_dir, self.global_iter, {
+            "params": self._state.params,
+            "batch_stats": self._state.batch_stats,
+            "opt_state": self._state.opt_state,
+            "epoch": self.epoch, "global_iter": self.global_iter,
+        })
+
+    # -------------------------------------------------------------- train
+    def fit(self):
+        first = next(iter(self.train_loader))
+        if self._state is None:
+            self.init_state(first)
+            self.try_resume()
+
+        while self.epoch < self.cfg.optim.max_epochs:
+            if hasattr(self.train_loader.sampler, "set_epoch"):
+                self.train_loader.sampler.set_epoch(self.epoch)
+            t_data = time.time()
+            for i, batch in enumerate(self.train_loader):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                data_time = time.time() - t_data
+                self.rng, step_rng = jax.random.split(self.rng)
+                self._state, metrics = self._train_step(
+                    self._state, batch, step_rng)
+                self.global_iter += 1
+                if i % self.print_freq == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    lr = float(self.schedule(self.global_iter))
+                    logger.info(
+                        "epoch %d iter %d loss %.4f grad %.2f lr %.2e "
+                        "data %.2fs step %.2fs", self.epoch, i,
+                        metrics["loss"], metrics["grad_norm"], lr,
+                        data_time, time.time() - t_data - data_time)
+                t_data = time.time()
+            self.epoch += 1
+            self.save()
+            if self.val_loader is not None:
+                self.evaluate()
+
+    # --------------------------------------------------------------- eval
+    def evaluate(self):
+        miou = MeanIoU()
+        for batch in self.val_loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.rng, step_rng = jax.random.split(self.rng)
+            out = self._eval_step(self._state.params,
+                                  self._state.batch_stats, batch, step_rng)
+            for b in range(out["final_occ"].shape[0]):
+                miou.update(out["final_occ"][b], out["sampled_label"][b],
+                            out["occ_mask"][b])
+        m, occ_iou, per_class = miou.result()
+        logger.info("val mIoU %.2f%%  occ IoU %.2f%%", m, occ_iou)
+        for name, iou in zip(miou.label_str, per_class):
+            logger.info("  %s: %.2f%%", name, iou * 100)
+        return m, occ_iou

@@ -17,7 +17,7 @@ EMBED = 32
 SEM_DIM = 5
 NUM_CLASSES = 6
 N_CAMS = 2
-IMG_H, IMG_W = 64, 96
+IMG_H, IMG_W = 32, 48
 
 
 def tiny_segmentor(version=2):
@@ -26,9 +26,8 @@ def tiny_segmentor(version=2):
         "identity", "ffn", "add", "norm",
         "identity", "spconv", "add", "norm",
         "refine",
-    ) * 2
-    op_order_v1 = ("deformable", "ffn", "norm", "refine",
-                   "spconv", "norm", "deformable", "ffn", "norm", "refine")
+    )
+    op_order_v1 = ("deformable", "ffn", "norm", "refine")
     common_enc = dict(
         embed_dims=EMBED, include_opa=True, semantic_dim=SEM_DIM,
         ffn_cfg=dict(embed_dims=EMBED, feedforward_channels=EMBED * 2,
@@ -55,13 +54,13 @@ def tiny_segmentor(version=2):
 
     if version == 2:
         lifter_cfg = dict(
-            num_anchor=48, embed_dims=EMBED, semantic_dim=SEM_DIM,
+            num_anchor=24, embed_dims=EMBED, semantic_dim=SEM_DIM,
             include_opa=True, num_samples=8, pc_range=PC_RANGE,
             voxel_size=1.0, occ_resolution=(10, 10, 4), empty_label=5,
-            random_samples=16, use_initializer=True, initializer_depth=18,
+            random_samples=8, use_initializer=True, initializer_depth=18,
             gt_bin_chunk=4, depth_max=12.0)
     else:
-        lifter_cfg = dict(num_anchor=64, embed_dims=EMBED,
+        lifter_cfg = dict(num_anchor=32, embed_dims=EMBED,
                           semantic_dim=SEM_DIM, include_opa=True)
 
     return BEVSegmentor(

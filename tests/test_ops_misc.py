@@ -1,0 +1,160 @@
+"""Tests for deformable aggregation, sparse conv, FPS, DCN ops."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianformer_tpu.ops.deformable import (bilinear_sample_nchw,
+                                               deformable_aggregation)
+from gaussianformer_tpu.ops.sparse_conv import (submanifold_conv3d,
+                                                voxel_indices)
+from gaussianformer_tpu.ops.fps import farthest_point_sampling
+from gaussianformer_tpu.ops.dcn import deform_conv2d
+
+
+def test_bilinear_center_exact():
+    """Sampling at a pixel center returns that pixel's value.
+
+    Convention: h_im = loc_h * H - 0.5 (deformable CUDA kernel :174-175),
+    so pixel i center is loc = (i + 0.5) / H."""
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(5, 7, 3).astype(np.float32))
+    loc = jnp.array([[(2 + 0.5) / 7, (1 + 0.5) / 5]])  # (w, h)
+    out = bilinear_sample_nchw(feat, loc)
+    np.testing.assert_allclose(out[0], feat[1, 2], atol=1e-6)
+
+
+def test_bilinear_interpolates():
+    feat = jnp.zeros((4, 4, 1)).at[1, 1, 0].set(1.0)
+    # halfway between pixel (1,1) and (1,2) in w
+    loc = jnp.array([[(2.0) / 4, (1 + 0.5) / 4]])
+    out = bilinear_sample_nchw(feat, loc)
+    np.testing.assert_allclose(out[0, 0], 0.5, atol=1e-6)
+
+
+def test_bilinear_oob_zero():
+    feat = jnp.ones((4, 4, 2))
+    loc = jnp.array([[-0.3, 0.5], [1.2, 0.5]])
+    out = bilinear_sample_nchw(feat, loc)
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_deformable_aggregation_weights():
+    """Weighted sum over cams/levels/groups matches a manual computation."""
+    rng = np.random.RandomState(1)
+    b, q, cams, lvls, g, c = 1, 5, 2, 2, 2, 8
+    feats = [jnp.asarray(rng.randn(b, cams, 6, 6, c).astype(np.float32)),
+             jnp.asarray(rng.randn(b, cams, 3, 3, c).astype(np.float32))]
+    pts = jnp.asarray(rng.uniform(0.1, 0.9, (b, q, cams, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.rand(b, q, cams, lvls, g).astype(np.float32))
+    out = deformable_aggregation(feats, pts, w, g)
+    assert out.shape == (b, q, c)
+
+    # manual
+    manual = np.zeros((b, q, c), np.float32)
+    for lvl in range(lvls):
+        for cam in range(cams):
+            s = bilinear_sample_nchw(feats[lvl][0, cam], pts[0, :, cam, :])
+            s = np.asarray(s).reshape(q, g, c // g)
+            manual[0] += (s * np.asarray(w)[0, :, cam, lvl, :, None]
+                          ).reshape(q, c)
+    np.testing.assert_allclose(np.asarray(out), manual, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_deformable_outside_gate():
+    """Locations outside (0,1) contribute nothing even with weight."""
+    feats = [jnp.ones((1, 1, 4, 4, 4))]
+    pts = jnp.array([[[[1.5, 0.5]]]])  # outside
+    w = jnp.ones((1, 1, 1, 1, 2))
+    out = deformable_aggregation(feats, pts, w, 2)
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_submanifold_conv_identity_kernel():
+    """A kernel with identity at the center offset reproduces features."""
+    rng = np.random.RandomState(2)
+    p, c = 17, 6
+    feats = jnp.asarray(rng.randn(p, c).astype(np.float32))
+    coords = jnp.asarray(rng.randint(0, 8, (p, 3)), jnp.int32)
+    w = np.zeros((3, 3, 3, c, c), np.float32)
+    w[1, 1, 1] = np.eye(c)
+    out = submanifold_conv3d(feats, coords, (8, 8, 8), jnp.asarray(w))
+    # anchors whose voxel was overwritten by a later anchor lose their
+    # self-lookup; anchors in unique voxels must be exact.
+    flat = np.asarray((coords[:, 0] * 8 + coords[:, 1]) * 8 + coords[:, 2])
+    unique_mask = np.array(
+        [np.sum(flat == f) == 1 for f in flat])
+    np.testing.assert_allclose(np.asarray(out)[unique_mask],
+                               np.asarray(feats)[unique_mask], atol=1e-5)
+
+
+def test_submanifold_conv_neighbor_sum():
+    """Uniform kernel sums features of occupied neighbor voxels."""
+    feats = jnp.asarray([[1.0], [2.0], [4.0]])
+    coords = jnp.asarray([[1, 1, 1], [1, 1, 2], [3, 3, 3]], jnp.int32)
+    w = jnp.ones((3, 3, 3, 1, 1))
+    out = submanifold_conv3d(feats, coords, (8, 8, 8), w)
+    np.testing.assert_allclose(np.asarray(out)[:, 0], [3.0, 3.0, 4.0],
+                               atol=1e-5)
+
+
+def test_voxel_indices_truncation():
+    xyz = jnp.array([[0.9, -0.9, 0.4]])
+    idx, shape = voxel_indices(xyz, (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+                               (0.5, 0.5, 0.5))
+    assert shape == (4, 4, 4)
+    np.testing.assert_array_equal(np.asarray(idx), [[3, 0, 2]])
+
+
+def test_fps_spreads_points():
+    """FPS on a cube's corners + center picks all corners first."""
+    corners = np.array([[x, y, z] for x in (0, 10.0) for y in (0, 10.0)
+                        for z in (0, 10.0)], np.float32)
+    center = np.full((20, 3), 5.0, np.float32)
+    pts = jnp.asarray(np.concatenate([center[:1], corners, center[1:]]))
+    sel = farthest_point_sampling(pts, 9)
+    sel = np.sort(np.asarray(sel))
+    # must include the first point (index 0) and all 8 corners (1..8)
+    np.testing.assert_array_equal(sel, np.arange(9))
+
+
+def test_fps_respects_mask():
+    pts = jnp.asarray(np.array(
+        [[0, 0, 0], [100, 0, 0], [0, 100, 0], [1, 1, 1]], np.float32))
+    valid = jnp.asarray([True, False, False, True])
+    sel = np.asarray(farthest_point_sampling(pts, 2, valid))
+    assert set(sel.tolist()) == {0, 3}
+
+
+def test_dcn_zero_offset_matches_conv():
+    """With zero offsets and mask=1, deform_conv2d equals a standard
+    3x3 convolution."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 6, 6, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+    offset = jnp.zeros((1, 6, 6, 18))
+    mask = jnp.ones((1, 6, 6, 9))
+    out = deform_conv2d(x, offset, mask, w, stride=1, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_dcn_shifted_offset():
+    """An integer offset of (+1, 0) shifts the sampling window down one
+    row for every tap."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    offset = jnp.zeros((1, 8, 8, 18)).at[..., 0::2].set(1.0)  # dy = 1
+    mask = jnp.ones((1, 8, 8, 9))
+    out = deform_conv2d(x, offset, mask, w, stride=1, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(0, 2), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)

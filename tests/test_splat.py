@@ -45,7 +45,7 @@ def test_chunked_matches_dense(variant, per_axis):
                     tile_n=64, chunk_g=8)
     for d, c in zip(dense, chunked):
         np.testing.assert_allclose(np.asarray(c), np.asarray(d),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_prob_outputs_semantics():
@@ -114,7 +114,8 @@ def test_gaussian_coefficient_decomposition():
                   precision=jax.lax.Precision.HIGHEST)
     inv_full = build_covariance_inverse(scales, quats, compact=False)
     d = means[None, :, :] - pts[:, None, :]
-    want = -0.5 * jnp.einsum("npi,pij,npj->np", d, inv_full, d)
+    want = -0.5 * jnp.einsum("npi,pij,npj->np", d, inv_full, d,
+                             precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=2e-3)
 

@@ -1,0 +1,40 @@
+"""Pallas splat kernel vs the XLA path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianformer_tpu.ops.splat import SplatGridSpec, splat
+from tests.test_splat import GRID, make_problem
+
+
+@pytest.mark.parametrize("variant", ["additive", "prob"])
+def test_pallas_matches_xla(variant):
+    args = make_problem(seed=3, N=200, P=23, C=6)
+    ref = splat(*args, GRID, variant=variant, backend="xla",
+                tile_n=64, chunk_g=8)
+    got = splat(*args, GRID, variant=variant, backend="pallas",
+                pallas_tile_n=64, pallas_chunk_g=8, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_gradients_match_xla():
+    args = make_problem(seed=4, N=80, P=9, C=4)
+    points, means, opas, sem, scales, cov_inv = args
+
+    def loss(backend, m, o, s, ci):
+        kw = dict(interpret=True, pallas_tile_n=32, pallas_chunk_g=8) \
+            if backend == "pallas" else dict(tile_n=32, chunk_g=4)
+        outs = splat(points, m, o, s, scales, ci, GRID, variant="prob",
+                     backend=backend, **kw)
+        return sum(jnp.sum(x ** 2) for x in outs)
+
+    g_ref = jax.grad(lambda *a: loss("xla", *a),
+                     argnums=(0, 1, 2, 3))(means, opas, sem, cov_inv)
+    g_pal = jax.grad(lambda *a: loss("pallas", *a),
+                     argnums=(0, 1, 2, 3))(means, opas, sem, cov_inv)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
