@@ -7,3 +7,14 @@ huang-yh/GaussianFormer — vision-based occupancy via iteratively refined
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# jax 0.9.0's direct-linearize autodiff path (default on) leaks
+# LinearizeTracers out of nested lax.scan bodies, breaking jax.grad over
+# the splat pipeline with an UnexpectedTracerError at the enclosing jit
+# boundary. The classic jvp+partial-eval path is correct; pin it.
+try:
+    _jax.config.update("jax_use_direct_linearize", False)
+except AttributeError:  # flag removed in newer jax → bug presumably fixed
+    pass

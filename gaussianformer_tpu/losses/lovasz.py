@@ -38,7 +38,12 @@ def lovasz_softmax(probas, labels, valid=None, classes="present"):
         valid = jnp.ones((n,), bool)
     validf = valid.astype(probas.dtype)
 
-    def class_loss(ci):
+    # python loop over the (small, static) class count — NOT jax.vmap:
+    # vmap over sort-containing bodies leaks tracers under jax.grad in
+    # jax 0.9.0 (see ops/splat.py for the same workaround).
+    losses = []
+    present = []
+    for ci in range(c):
         fg = (labels == ci).astype(probas.dtype) * validf
         errors = jnp.abs(fg - probas[:, ci]) * validf
         order = jnp.argsort(-errors)
@@ -46,10 +51,10 @@ def lovasz_softmax(probas, labels, valid=None, classes="present"):
         fg_sorted = fg[order]
         valid_sorted = validf[order]
         grad = _lovasz_grad_from_sorted(fg_sorted, valid_sorted)
-        loss_c = jnp.sum(errors_sorted * grad)
-        present = jnp.sum(fg) > 0
-        return loss_c, present
+        losses.append(jnp.sum(errors_sorted * grad))
+        present.append(jnp.sum(fg) > 0)
 
-    losses, present = jax.vmap(class_loss)(jnp.arange(c))
+    losses = jnp.stack(losses)
+    present = jnp.stack(present)
     num_present = jnp.maximum(jnp.sum(present), 1)
     return jnp.sum(jnp.where(present, losses, 0.0)) / num_present

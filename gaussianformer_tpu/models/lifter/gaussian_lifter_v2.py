@@ -70,6 +70,7 @@ class GaussianLifterV2(nn.Module):
     random_samples: int = 2400
     use_initializer: bool = True
     initializer_depth: int = 101
+    initializer_dcn: tuple = (False, False, True, True)
     initializer_dtype: str = "float32"
     gt_bin_chunk: int = 16
 
@@ -88,6 +89,7 @@ class GaussianLifterV2(nn.Module):
             assert self.use_initializer
             feat = ResNetSecondFPN(
                 depth=self.initializer_depth,
+                stage_with_dcn=tuple(self.initializer_dcn),
                 dtype=self.initializer_dtype,
                 name="initialize_backbone")(
                 imgs.reshape((b * n,) + imgs.shape[2:]))
@@ -138,8 +140,9 @@ class GaussianLifterV2(nn.Module):
                 valid = jnp.where(oob, False, valid)
                 return (occ != self.empty_label) & valid
 
-            chunks = self.num_samples // self.gt_bin_chunk
-            d_chunks = depth_bins.reshape(chunks, self.gt_bin_chunk)
+            bin_chunk = min(self.gt_bin_chunk, self.num_samples)
+            chunks = self.num_samples // bin_chunk
+            d_chunks = depth_bins.reshape(chunks, bin_chunk)
             gt = jax.lax.map(gt_chunk, d_chunks)  # [chunks, B, N, h, w, K]
             gt = jnp.moveaxis(gt, 0, -2).reshape(
                 b, n, h, w, self.num_samples)

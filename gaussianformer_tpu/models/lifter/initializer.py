@@ -13,7 +13,8 @@ from ..neck.second_fpn import SECONDFPN
 class ResNetSecondFPN(nn.Module):
     depth: int = 101
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
-    stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
+    stage_with_dcn: Tuple[bool, bool, bool, bool] = (False, False, True,
+                                                    True)
     style: str = "caffe"
     with_cp: bool = True
     out_channels: Tuple[int, ...] = (128, 128, 128, 128)

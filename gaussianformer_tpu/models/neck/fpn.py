@@ -16,10 +16,13 @@ import jax.numpy as jnp
 def _upsample_nearest(x, shape):
     b, h, w, c = x.shape
     th, tw = shape
-    # nearest with integer scale factors (FPN levels are powers of two)
-    sh, sw = th // h, tw // w
-    x = jnp.repeat(jnp.repeat(x, sh, axis=1), sw, axis=2)
-    return x[:, :th, :tw, :]
+    if th % h == 0 and tw % w == 0:
+        # exact integer scale (the production case: pyramid levels are
+        # powers of two) — a repeat, matching F.interpolate(scale_factor)
+        return jnp.repeat(jnp.repeat(x, th // h, axis=1), tw // w, axis=2)
+    iy = (jnp.arange(th) * h) // th
+    ix = (jnp.arange(tw) * w) // tw
+    return x[:, iy][:, :, ix]
 
 
 class FPN(nn.Module):

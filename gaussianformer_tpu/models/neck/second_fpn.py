@@ -43,4 +43,10 @@ class SECONDFPN(nn.Module):
             y = FrozenBatchNorm(ch, epsilon=1e-3, name=f"deblock_{i}_bn")(y)
             y = nn.relu(y)
             outs.append(y)
+        # with non-power-of-two inputs ceil-division strides can leave the
+        # branches a pixel apart; crop to the common extent (production
+        # shapes are exact multiples and this is a no-op)
+        mh = min(o.shape[1] for o in outs)
+        mw = min(o.shape[2] for o in outs)
+        outs = [o[:, :mh, :mw] for o in outs]
         return jnp.concatenate(outs, axis=-1)

@@ -71,19 +71,17 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
 
     flat_idx = (jnp.clip(ys, 0, h - 1) * w
                 + jnp.clip(xs, 0, w - 1))  # [B, H_out, W_out, K*K, 4]
-
-    def single(img_flat, idx, wgt, m):
-        # img_flat [H*W, C]; idx/wgt [H_out, W_out, K*K, 4]; m [..., K*K]
-        g = img_flat[idx.reshape(-1)]  # one gather: [H_out*W_out*K*K*4, C]
-        g = g.reshape(h_out, w_out, kk, 4, c_in)
-        v = jnp.sum(g * wgt[..., None], axis=-2)  # [H_out, W_out, KK, C]
-        v = v * m[..., None]
-        out = jnp.dot(v.reshape(h_out, w_out, kk * c_in),
-                      weight.reshape(kk * c_in, -1),
-                      preferred_element_type=jnp.float32)
-        return out
-
-    out = jax.vmap(single)(x.reshape(b, h * w, c_in), flat_idx, cw, mask)
+    # fold the batch into the row table so the whole op is ONE gather
+    # (TPU gathers have multi-ms fixed cost; per-image gathers dominate)
+    img_base = (jnp.arange(b, dtype=jnp.int32) * (h * w)
+                )[:, None, None, None, None]
+    g = x.reshape(b * h * w, c_in)[(flat_idx + img_base).reshape(-1)]
+    g = g.reshape(b, h_out, w_out, kk, 4, c_in)
+    v = jnp.einsum("bhwkrc,bhwkr->bhwkc", g, cw.astype(g.dtype))
+    v = v * mask[..., None].astype(g.dtype)
+    out = jnp.dot(v.reshape(b, h_out, w_out, kk * c_in),
+                  weight.reshape(kk * c_in, -1),
+                  preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     return out

@@ -41,6 +41,8 @@ def farthest_point_sampling(points, num_samples: int, valid_mask=None,
         return dist, selected.at[i].set(nxt)
 
     selected0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+    # unroll to amortize per-iteration loop overhead (the selection is
+    # inherently sequential; each step is two cheap passes over N)
     _, selected = jax.lax.fori_loop(1, num_samples, body,
-                                    (init_dist, selected0))
+                                    (init_dist, selected0), unroll=8)
     return selected

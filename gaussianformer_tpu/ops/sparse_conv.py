@@ -52,33 +52,41 @@ def submanifold_conv3d(features, coords, grid_shape, weights, bias=None):
     vox2anchor = jnp.full((X * Y * Z,), -1, jnp.int32).at[flat].set(
         jnp.arange(p, dtype=jnp.int32))
 
+    c_in = features.shape[1]
     c_out = weights.shape[-1]
+    kkk = k * k * k
     # pad features with a zero row at index P for missing neighbors
     feats_pad = jnp.concatenate(
-        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+        [features, jnp.zeros((1, c_in), features.dtype)], axis=0)
 
     offs = jnp.stack(jnp.meshgrid(
         jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), jnp.arange(-r, r + 1),
         indexing="ij"), axis=-1).reshape(-1, 3).astype(jnp.int32)
-    w_flat = weights.reshape(k * k * k, weights.shape[-2], c_out)
 
-    def body(acc, xs):
-        off, w = xs
-        nb = coords + off[None, :]
-        in_bounds = jnp.all(
-            (nb >= 0) & (nb < jnp.asarray([X, Y, Z], jnp.int32)), axis=-1)
-        nb_flat = ((jnp.clip(nb[:, 0], 0, X - 1) * Y
-                    + jnp.clip(nb[:, 1], 0, Y - 1)) * Z
-                   + jnp.clip(nb[:, 2], 0, Z - 1))
-        nb_idx = vox2anchor[nb_flat]
-        nb_idx = jnp.where(in_bounds & (nb_idx >= 0), nb_idx, p)
-        nb_feat = feats_pad[nb_idx]
-        return acc + jnp.dot(nb_feat, w,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32), None
+    # neighbor index table [P, K^3] (one gather from the voxel map)
+    nb = coords[:, None, :] + offs[None, :, :]
+    in_bounds = jnp.all(
+        (nb >= 0) & (nb < jnp.asarray([X, Y, Z], jnp.int32)), axis=-1)
+    nb_flat = ((jnp.clip(nb[..., 0], 0, X - 1) * Y
+                + jnp.clip(nb[..., 1], 0, Y - 1)) * Z
+               + jnp.clip(nb[..., 2], 0, Z - 1))
+    nb_idx = vox2anchor[nb_flat]
+    nb_idx = jnp.where(in_bounds & (nb_idx >= 0), nb_idx, p)
 
-    out, _ = jax.lax.scan(body, jnp.zeros((p, c_out), jnp.float32),
-                          (offs, w_flat))
+    # one feature gather + one big matmul per anchor chunk (im2col style —
+    # a scan over 125 offsets costs ~125 small launches; this is 2)
+    w_mat = weights.reshape(kkk * c_in, c_out)
+    chunk = min(p, 4096)   # im2col buffer: chunk * K^3 * C_in floats
+    p_pad = -(-p // chunk) * chunk
+    nb_idx = jnp.pad(nb_idx, ((0, p_pad - p), (0, 0)),
+                     constant_values=p).reshape(p_pad // chunk, chunk, kkk)
+
+    def chunk_fn(idx_c):
+        g = feats_pad[idx_c.reshape(-1)].reshape(chunk, kkk * c_in)
+        return jnp.dot(g, w_mat, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(chunk_fn, nb_idx).reshape(p_pad, c_out)[:p]
     if bias is not None:
         out = out + bias
     return out

@@ -170,19 +170,28 @@ def _chunk_step(pts, pts_int, gdata, means_int, radii, opa_norm, opa, sem,
                       preferred_element_type=jnp.float32)
     prob_sum = jnp.sum(prob, axis=-1)
     density = jnp.sum(power, axis=-1)
-    one_minus = jnp.prod(1.0 - power, axis=-1)
-    return sem_acc, prob_sum, density, one_minus
+    # log-space superposition product: gradient 1/(1-p) capped exactly like
+    # the reference backward's epsilon (backward.cu:96: /(1-power+1e-9));
+    # also keeps every scan carry additive.
+    log1m = jnp.sum(jnp.log1p(-jnp.minimum(power, 1.0 - 1e-9)), axis=-1)
+    return sem_acc, prob_sum, density, log1m
 
 
 def _splat_single(points, points_int, means, means_int, opacities, semantics,
                   radii, cov_inv6, *, variant: str, tile_n: int, chunk_g: int,
                   remat: bool = True):
-    """Single-batch splat. points [N,3], means [P,3], semantics [P,C]."""
+    """Single-batch splat: one lax.scan over gaussian chunks; each step is
+    a dense (N x chunk) block (rematerialized in the backward).
+
+    ``tile_n`` is accepted for API compatibility but unused — a single-level
+    scan keeps autodiff simple (nested scans hit jax 0.9.0 transpose bugs)
+    and the per-step [N, chunk_g] block bounds peak memory.
+    """
+    del tile_n
     n = points.shape[0]
     p = means.shape[0]
     c = semantics.shape[-1]
 
-    n_pad = -(-n // tile_n) * tile_n
     p_pad = -(-p // chunk_g) * chunk_g
 
     gdata = jnp.concatenate([means, cov_inv6], axis=-1)  # [P, 9]
@@ -190,8 +199,6 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
     # guard: dummy/degenerate gaussians get det clamped to keep sqrt finite
     opa_norm = _NORM_3D * jnp.sqrt(jnp.maximum(det, 1e-30)) * opacities
 
-    pts = _pad_to(points, n_pad, 0)
-    pts_int = _pad_to(points_int, n_pad, 0, value=-(10 ** 6))
     gdata = _pad_to(gdata, p_pad, 0)
     means_int = _pad_to(means_int, p_pad, 0, value=-(10 ** 6))
     radii_p = _pad_to(radii, p_pad, 0, value=-1)
@@ -199,59 +206,50 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
     opa = _pad_to(opacities, p_pad, 0)
     sem = _pad_to(semantics, p_pad, 0)
 
-    num_tiles = n_pad // tile_n
     num_chunks = p_pad // chunk_g
+    chunks = (
+        gdata.reshape(num_chunks, chunk_g, 9),
+        means_int.reshape(num_chunks, chunk_g, 3),
+        radii_p.reshape(num_chunks, chunk_g, 3),
+        opa_norm.reshape(num_chunks, chunk_g),
+        opa.reshape(num_chunks, chunk_g),
+        sem.reshape(num_chunks, chunk_g, c),
+    )
 
-    phi_t = pts.reshape(num_tiles, tile_n, 3)
-    pts_int_t = pts_int.reshape(num_tiles, tile_n, 3)
-    psi_c = gdata.reshape(num_chunks, chunk_g, 9)
-    means_int_c = means_int.reshape(num_chunks, chunk_g, 3)
-    radii_c = radii_p.reshape(num_chunks, chunk_g, 3)
-    opa_norm_c = opa_norm.reshape(num_chunks, chunk_g)
-    opa_c = opa.reshape(num_chunks, chunk_g)
-    sem_c = sem.reshape(num_chunks, chunk_g, c)
-
-    step = _chunk_step
+    step = functools.partial(_chunk_step, variant=variant)
     if remat:
         step = jax.checkpoint(
-            functools.partial(_chunk_step, variant=variant),
-            policy=jax.checkpoint_policies.nothing_saveable)
-    else:
-        step = functools.partial(_chunk_step, variant=variant)
+            step, policy=jax.checkpoint_policies.nothing_saveable)
 
-    def tile_fn(tile):
-        phi_i, pts_int_i = tile
-
-        def scan_body(carry, chunk):
-            psi_j, mint_j, rad_j, onorm_j, opa_j, sem_j = chunk
-            sem_acc, prob_sum, density, one_minus = step(
-                phi_i, pts_int_i, psi_j, mint_j, rad_j, onorm_j, opa_j, sem_j)
-            if variant == "additive":
-                return (carry[0] + sem_acc,), None
-            return (carry[0] + sem_acc, carry[1] + prob_sum,
-                    carry[2] + density, carry[3] * one_minus), None
-
+    def chunk_body(carry, chunk):
+        pts_c, pint_c, accs = carry
+        gd_j, mint_j, rad_j, onorm_j, opa_j, sem_j = chunk
+        sem_acc, prob_sum, density, log1m = step(
+            pts_c, pint_c, gd_j, mint_j, rad_j, onorm_j, opa_j, sem_j)
         if variant == "additive":
-            init = (jnp.zeros((tile_n, c), jnp.float32),)
+            accs = (accs[0] + sem_acc,)
         else:
-            init = (jnp.zeros((tile_n, c), jnp.float32),
-                    jnp.zeros((tile_n,), jnp.float32),
-                    jnp.zeros((tile_n,), jnp.float32),
-                    jnp.ones((tile_n,), jnp.float32))
-        carry, _ = jax.lax.scan(
-            scan_body, init,
-            (psi_c, means_int_c, radii_c, opa_norm_c, opa_c, sem_c))
-        return carry
-
-    out = jax.lax.map(tile_fn, (phi_t, pts_int_t))
+            accs = (accs[0] + sem_acc, accs[1] + prob_sum,
+                    accs[2] + density, accs[3] + log1m)
+        return (pts_c, pint_c, accs), None
 
     if variant == "additive":
-        return (out[0].reshape(n_pad, c)[:n],)
+        init = (jnp.zeros((n, c), jnp.float32),)
+    else:
+        init = (jnp.zeros((n, c), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32))
+    (_, _, out), _ = jax.lax.scan(
+        chunk_body, (points, points_int, init), chunks)
 
-    sem_acc = out[0].reshape(n_pad, c)[:n]
-    prob_sum = out[1].reshape(n_pad)[:n]
-    density = out[2].reshape(n_pad)[:n]
-    one_minus = out[3].reshape(n_pad)[:n]
+    if variant == "additive":
+        return (out[0],)
+
+    sem_acc = out[0]
+    prob_sum = out[1]
+    density = out[2]
+    one_minus = jnp.exp(out[3])
 
     # GMM posterior with uniform fallback (forward.cu:92-98): when no Gaussian
     # covers the point, the first C-1 channels get 1/(C-1) and the last stays 0.
@@ -267,7 +265,7 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
 def splat(points, means, opacities, semantics, scales, cov_inv6,
           grid: SplatGridSpec, *, variant: str = "prob",
           per_axis_radii: bool = True, tile_n: int = 8192,
-          chunk_g: int = 512, backend: str = "auto",
+          chunk_g: int = 128, backend: str = "auto",
           pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
           interpret: bool = False):
     """Batched Gaussian→voxel splat.
@@ -303,10 +301,17 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
     means_int = grid.voxelize(jax.lax.stop_gradient(means))
     radii = grid.radii(scales, per_axis=per_axis_radii)
 
-    fn = functools.partial(
-        _splat_single, variant=variant, tile_n=tile_n, chunk_g=chunk_g)
-    return jax.vmap(fn)(points, points_int, means, means_int, opacities,
-                        semantics, radii, cov_inv6)
+    # NOTE: a python loop over the (small, static) batch — NOT jax.vmap.
+    # vmap over this scan/map/remat pipeline leaks LinearizeTracers under
+    # jax.grad in jax 0.9.0 (UnexpectedTracerError in the enclosing jit).
+    outs = []
+    for bi in range(points.shape[0]):
+        outs.append(_splat_single(
+            points[bi], points_int[bi], means[bi], means_int[bi],
+            opacities[bi], semantics[bi], radii[bi], cov_inv6[bi],
+            variant=variant, tile_n=tile_n, chunk_g=chunk_g))
+    return tuple(jnp.stack([o[k] for o in outs])
+                 for k in range(len(outs[0])))
 
 
 # ---------------------------------------------------------------------------

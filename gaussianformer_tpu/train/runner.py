@@ -72,7 +72,9 @@ class Trainer:
             occ_cam_mask=jnp.asarray(example_batch["occ_cam_mask"]),
             training=True, rng=rng)
         total_steps = len(self.train_loader) * self.cfg.optim.max_epochs
-        frozen = []
+        # frozen_stages=1 (reference backbone config): stem + stage 1
+        frozen = ["img_backbone/conv1", "img_backbone/bn1",
+                  "img_backbone/layer1_"]
         if self.cfg.freeze_lifter:
             # reference freeze_lifter keeps random_anchors trainable
             # (bev_segmentor.py:40-46); freeze the initializer tower and

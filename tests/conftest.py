@@ -10,4 +10,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin force-registers itself and overrides JAX_PLATFORMS
+# from the environment; pin the platform via config so tests really run
+# on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the tiny-model e2e tests are compile-bound on
+# this single-core host; caching makes repeat suite runs fast
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

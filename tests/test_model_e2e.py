@@ -58,6 +58,7 @@ def tiny_segmentor(version=2):
             include_opa=True, num_samples=8, pc_range=PC_RANGE,
             voxel_size=1.0, occ_resolution=(10, 10, 4), empty_label=5,
             random_samples=8, use_initializer=True, initializer_depth=18,
+            initializer_dcn=(False, False, False, False),
             gt_bin_chunk=4, depth_max=12.0)
     else:
         lifter_cfg = dict(num_anchor=32, embed_dims=EMBED,
@@ -66,7 +67,7 @@ def tiny_segmentor(version=2):
     return BEVSegmentor(
         backbone_cfg=dict(depth=18, out_indices=(0, 1, 2, 3),
                           style="pytorch",
-                          stage_with_dcn=(False, False, True, True),
+                          stage_with_dcn=(False, False, False, False),
                           with_cp=False, base_channels=8),
         neck_cfg=dict(out_channels=EMBED, num_outs=4, start_level=1,
                       add_extra_convs="on_output",
@@ -123,12 +124,12 @@ def test_forward(version):
     model = tiny_segmentor(version)
     batch = make_batch(np.random.RandomState(0))
     rng = jax.random.PRNGKey(0)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": rng, "dropout": rng},
         batch["imgs"], batch["projection_mat"], batch["image_wh"],
         occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
         occ_cam_mask=batch["occ_cam_mask"], training=False, rng=rng)
-    out = model.apply(
+    out = jax.jit(model.apply, static_argnames=("training",))(
         variables,
         batch["imgs"], batch["projection_mat"], batch["image_wh"],
         occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
@@ -156,7 +157,7 @@ def test_train_step_v2():
     model = tiny_segmentor(2)
     batch = make_batch(np.random.RandomState(1))
     rng = jax.random.PRNGKey(0)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": rng, "dropout": rng},
         batch["imgs"], batch["projection_mat"], batch["image_wh"],
         occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
@@ -178,19 +179,22 @@ def test_train_step_v2():
                             frozen_prefixes=())
     state = create_train_state(variables, tx)
 
-    def compute_loss(params):
-        out = model.apply(
-            {"params": params, **{k: v for k, v in variables.items()
-                                  if k != "params"}},
-            batch["imgs"], batch["projection_mat"], batch["image_wh"],
-            occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
-            occ_cam_mask=batch["occ_cam_mask"], training=True, rng=rng,
-            rngs={"dropout": rng})
-        loss, logs = loss_fn(out)
-        return loss, logs
+    @jax.jit
+    def grad_step(params, batch, rng):
+        def compute_loss(params):
+            out = model.apply(
+                {"params": params, **{k: v for k, v in variables.items()
+                                      if k != "params"}},
+                batch["imgs"], batch["projection_mat"], batch["image_wh"],
+                occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
+                occ_cam_mask=batch["occ_cam_mask"], training=True, rng=rng,
+                rngs={"dropout": rng})
+            loss, logs = loss_fn(out)
+            return loss, logs
 
-    (loss, logs), grads = jax.value_and_grad(
-        compute_loss, has_aux=True)(state.params)
+        return jax.value_and_grad(compute_loss, has_aux=True)(params)
+
+    (loss, logs), grads = grad_step(state.params, batch, rng)
     assert np.isfinite(float(loss))
     new_state = state.apply_gradients(grads)
     # some parameter must have moved
