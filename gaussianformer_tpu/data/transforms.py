@@ -193,6 +193,69 @@ def occ_meshgrid(pc_range=(-50.0, -50.0, -5.0, 50.0, 50.0, 3.0),
                     axis=-1).astype(np.float32)
 
 
+def load_points(pts_path: str, pc_range, num_pts: int,
+                rng: Optional[np.random.RandomState] = None,
+                jitter: float = 0.2) -> np.ndarray:
+    """Lidar point anchors for the v1 `pts_init` path (reference
+    LoadPointFromFile, transform_3d.py:357-408): read nuScenes .bin points,
+    keep in-range points farther than 1 m, pad with jittered copies or
+    subsample to exactly ``num_pts``, and normalize to [0, 1]^3."""
+    rng = rng or np.random.RandomState(0)
+    scan = np.fromfile(pts_path, dtype=np.float32).reshape(-1, 5)[:, :3]
+    return _prepare_anchor_points(scan, pc_range, num_pts, rng, jitter)
+
+
+def load_pseudo_points(npy_path: str, pc_range, num_pts: int,
+                       ego2lidar: Optional[np.ndarray] = None,
+                       rng: Optional[np.random.RandomState] = None,
+                       jitter: float = 0.3) -> np.ndarray:
+    """Pseudo-lidar anchors (reference LoadPseudoPointFromFile,
+    transform_3d.py:411-470)."""
+    rng = rng or np.random.RandomState(0)
+    scan = np.load(npy_path)
+    if ego2lidar is not None:
+        h = np.concatenate([scan, np.ones_like(scan[:, :1])], axis=-1)
+        scan = (ego2lidar[None] @ h[..., None])[..., 0]
+    return _prepare_anchor_points(scan[:, :3], pc_range, num_pts, rng,
+                                  jitter)
+
+
+def _prepare_anchor_points(scan, pc_range, num_pts, rng, jitter):
+    norm = np.linalg.norm(scan, 2, axis=-1)
+    lo = np.asarray(pc_range[:3])
+    hi = np.asarray(pc_range[3:6])
+    mask = np.all((scan > lo) & (scan < hi), axis=-1) & (norm > 1.0)
+    scan = scan[mask]
+    if scan.shape[0] == 0:
+        scan = np.zeros((1, 3), np.float32)
+    if scan.shape[0] < num_pts:
+        multi = int(np.ceil(num_pts / scan.shape[0]))
+        extra = np.repeat(scan, multi, 0)
+        extra = extra + rng.randn(*extra.shape) * jitter
+        extra = extra[rng.choice(extra.shape[0],
+                                 num_pts - scan.shape[0], False)]
+        extra = np.clip(extra, lo, hi)
+        scan = np.concatenate([scan, extra], 0)
+    else:
+        scan = scan[rng.choice(scan.shape[0], num_pts, False)]
+    return ((scan - lo) / (hi - lo)).astype(np.float32)
+
+
+def load_occupancy_kitti360(label_path: str, *,
+                            unknown_to_empty: bool = False,
+                            training: bool = False):
+    """KITTI-360 SSCBench labels (reference LoadOccupancyKITTI360,
+    transform_3d.py:543-586): dense 256x256x32 grid at 0.2 m, ignore
+    label 255 masked out, grid origin [0, -25.6, -2.0]."""
+    label = np.load(label_path).astype(np.int64)
+    if unknown_to_empty and training:
+        label[label == 255] = 0
+    mask = label != 255
+    xyz = occ_meshgrid((0.0, -25.6, -2.0, 51.2, 25.6, 4.4),
+                       (256, 256, 32), 0.2)
+    return label, mask, xyz
+
+
 def load_occupancy_surroundocc(label_path: str,
                                grid=(200, 200, 16),
                                empty_label: int = 17):

@@ -40,18 +40,28 @@ def lovasz_softmax(probas, labels, valid=None, classes="present"):
 
     # python loop over the (small, static) class count — NOT jax.vmap:
     # vmap over sort-containing bodies leaks tracers under jax.grad in
-    # jax 0.9.0 (see ops/splat.py for the same workaround).
-    losses = []
-    present = []
-    for ci in range(c):
-        fg = (labels == ci).astype(probas.dtype) * validf
-        errors = jnp.abs(fg - probas[:, ci]) * validf
+    # jax 0.9.0 (see ops/splat.py for the same workaround). Each class is
+    # rematerialized so the backward never holds 18 classes' sorted copies
+    # of a 640k-voxel grid at once.
+    @jax.checkpoint
+    def class_loss(prob_col, fg):
+        errors = jnp.abs(fg - prob_col) * validf
         order = jnp.argsort(-errors)
         errors_sorted = errors[order]
         fg_sorted = fg[order]
         valid_sorted = validf[order]
         grad = _lovasz_grad_from_sorted(fg_sorted, valid_sorted)
-        losses.append(jnp.sum(errors_sorted * grad))
+        return jnp.sum(errors_sorted * grad)
+
+    # row-major transpose first: the backward of a column slice
+    # materializes a [N, 1] cotangent whose TPU layout pads 128x (312MB at
+    # 640k voxels); rows of the transposed array have 1-D cotangents.
+    probas_t = probas.T
+    losses = []
+    present = []
+    for ci in range(c):
+        fg = (labels == ci).astype(probas.dtype) * validf
+        losses.append(class_loss(probas_t[ci], fg))
         present.append(jnp.sum(fg) > 0)
 
     losses = jnp.stack(losses)

@@ -51,6 +51,10 @@ class OccupancyLossCfg:
     geo_scal_weight: float = 1.0
     manual_class_weight: Optional[Tuple[float, ...]] = None
     balance_cls_weight: bool = True
+    use_focal: bool = False           # CustomFocalLoss replaces the CE
+    focal_use_sigmoid: bool = True
+    use_dice: bool = False
+    dice_weight: float = 2.0
 
 
 def weighted_ce_with_softmax(logits, labels, class_weights, valid):
@@ -82,7 +86,11 @@ def sem_scal_loss(probs, labels, valid, num_classes: int):
     """Per-class precision/recall/specificity BCE (occupancy_loss.py:185)."""
     validf = valid.astype(probs.dtype)
 
-    def per_class(ci):
+    # python loop over classes (see losses/lovasz.py: vmap over these
+    # bodies leaks tracers under grad in jax 0.9.0)
+    losses = []
+    present = []
+    for ci in range(num_classes - 1):
         p = probs[:, ci] * validf
         t = (labels == ci).astype(probs.dtype) * validf
         nom = jnp.sum(p * t)
@@ -95,10 +103,12 @@ def sem_scal_loss(probs, labels, valid, num_classes: int):
                           _scal_bce_of_ratio(nom / (sum_t + 1e-5)), 0.0)
         spec = jnp.sum((validf - p) * (validf - t)) / (sum_not_t + 1e-5)
         loss += jnp.where(sum_not_t > 0, _scal_bce_of_ratio(spec), 0.0)
-        present = sum_t > 0
-        return jnp.where(present, loss, 0.0), present
+        pres = sum_t > 0
+        losses.append(jnp.where(pres, loss, 0.0))
+        present.append(pres)
 
-    losses, present = jax.vmap(per_class)(jnp.arange(num_classes - 1))
+    losses = jnp.stack(losses)
+    present = jnp.stack(present)
     return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1)
 
 
@@ -117,9 +127,11 @@ def geo_scal_loss(probs, labels, valid, empty_label: int):
             + _scal_bce_of_ratio(spec))
 
 
-def occupancy_loss(cfg: OccupancyLossCfg, pred_occ, sampled_label, occ_mask):
+def occupancy_loss(cfg: OccupancyLossCfg, pred_occ, sampled_label, occ_mask,
+                   sampled_xyz=None):
     """pred_occ: list of [B, N, C] (probs if not lovasz_use_softmax, else
-    logits); sampled_label [B, N]; occ_mask [B, N] bool."""
+    logits); sampled_label [B, N]; occ_mask [B, N] bool; sampled_xyz only
+    needed for the distance-weighted focal variant."""
     class_weights = balanced_class_weights(
         cfg.num_classes, cfg.manual_class_weight
         if cfg.balance_cls_weight else
@@ -136,7 +148,16 @@ def occupancy_loss(cfg: OccupancyLossCfg, pred_occ, sampled_label, occ_mask):
         labels = sampled_label.reshape(b * n)
         vf = valid.reshape(b * n).astype(jnp.float32)
 
-        if cfg.lovasz_use_softmax:
+        if cfg.use_focal:
+            from .focal import distance_weighted_focal_loss
+            assert sampled_xyz is not None
+            ce = distance_weighted_focal_loss(
+                semantics, sampled_label, sampled_xyz,
+                use_sigmoid=cfg.focal_use_sigmoid,
+                class_weights=class_weights)
+            probs = (flat if not cfg.lovasz_use_softmax
+                     else jax.nn.softmax(flat, axis=-1))
+        elif cfg.lovasz_use_softmax:
             ce = weighted_ce_with_softmax(flat, labels, class_weights, vf)
             probs = jax.nn.softmax(flat, axis=-1)
         else:
@@ -154,5 +175,9 @@ def occupancy_loss(cfg: OccupancyLossCfg, pred_occ, sampled_label, occ_mask):
             lv_valid = (vf > 0) & (labels != cfg.lovasz_ignore)
             loss += cfg.lovasz_weight * lovasz_softmax(
                 probs, labels, lv_valid)
+        if cfg.use_dice:
+            from .focal import dice_loss
+            loss += cfg.dice_weight * dice_loss(
+                probs, labels, class_weights=class_weights, valid=vf > 0)
         tot = tot + loss
     return tot / len(pred_occ)

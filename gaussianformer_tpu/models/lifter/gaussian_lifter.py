@@ -38,9 +38,12 @@ class GaussianLifter(nn.Module):
     embed_dims: int = 128
     semantic_dim: int = 17
     include_opa: bool = True
+    pts_init: bool = False   # xyz from lidar anchor points instead of bank
 
     @nn.compact
-    def __call__(self, batch_size: int):
+    def __call__(self, batch_size: int, anchor_points=None):
+        """anchor_points: [B, num_anchor, 3] normalized lidar anchors,
+        required when pts_init (reference gaussian_lifter.py:76-82)."""
         anchor = self.param(
             "anchor",
             lambda key: _init_anchor(key, self.num_anchor,
@@ -48,9 +51,18 @@ class GaussianLifter(nn.Module):
         instance_feature = self.param(
             "instance_feature", nn.initializers.zeros,
             (self.num_anchor, self.embed_dims))
+        if self.pts_init:
+            assert anchor_points is not None, "pts_init needs anchor_points"
+            xyz = safe_inverse_sigmoid(anchor_points)
+            rest = jnp.broadcast_to(
+                anchor[None, :, 3:],
+                (batch_size, self.num_anchor, anchor.shape[-1] - 3))
+            rep = jnp.concatenate([xyz, rest], axis=-1)
+        else:
+            rep = jnp.broadcast_to(
+                anchor[None], (batch_size,) + anchor.shape)
         return {
-            "representation": jnp.broadcast_to(
-                anchor[None], (batch_size,) + anchor.shape),
+            "representation": rep,
             "rep_features": jnp.broadcast_to(
                 instance_feature[None],
                 (batch_size,) + instance_feature.shape),

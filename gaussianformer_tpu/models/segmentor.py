@@ -32,7 +32,8 @@ class BEVSegmentor(nn.Module):
 
     @nn.compact
     def __call__(self, imgs, projection_mat, image_wh,
-                 occ_xyz=None, occ_label=None, occ_cam_mask=None, *,
+                 occ_xyz=None, occ_label=None, occ_cam_mask=None,
+                 anchor_points=None, *,
                  training: bool = False, rng: Optional[jax.Array] = None,
                  rep_only: bool = False,
                  apply_loss_layers: Optional[Sequence[int]] = None
@@ -65,7 +66,8 @@ class BEVSegmentor(nn.Module):
             rng_lifter, rng_head = jax.random.split(rng)
         if self.lifter_type == "v1":
             lifter_out = GaussianLifter(
-                **(self.lifter_cfg or {}), name="lifter")(batch_size=b)
+                **(self.lifter_cfg or {}), name="lifter")(
+                batch_size=b, anchor_points=anchor_points)
         else:
             lifter_out = GaussianLifterV2(
                 **(self.lifter_cfg or {}), name="lifter")(

@@ -27,6 +27,10 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
                   padding: int = 1, dilation: int = 1):
     """Modulated deformable conv (DCNv2), NHWC.
 
+    The body is rematerialized: the im2col corner tensor is ~570MB per
+    R101 stage-3 block at 6x864x1600 and 46 DCN blocks would otherwise be
+    live together in the backward.
+
     x:      [B, H, W, C_in]
     offset: [B, H_out, W_out, 2*K*K]  (dy, dx interleaved per tap)
     mask:   [B, H_out, W_out, K*K]    (already sigmoid-ed)
@@ -75,13 +79,19 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
     # (TPU gathers have multi-ms fixed cost; per-image gathers dominate)
     img_base = (jnp.arange(b, dtype=jnp.int32) * (h * w)
                 )[:, None, None, None, None]
-    g = x.reshape(b * h * w, c_in)[(flat_idx + img_base).reshape(-1)]
-    g = g.reshape(b, h_out, w_out, kk, 4, c_in)
-    v = jnp.einsum("bhwkrc,bhwkr->bhwkc", g, cw.astype(g.dtype))
-    v = v * mask[..., None].astype(g.dtype)
-    out = jnp.dot(v.reshape(b, h_out, w_out, kk * c_in),
-                  weight.reshape(kk * c_in, -1),
-                  preferred_element_type=jnp.float32)
+
+    @jax.checkpoint
+    def gather_and_contract(x_flat, idx, cw, mask, weight):
+        g = x_flat[idx.reshape(-1)]
+        g = g.reshape(b, h_out, w_out, kk, 4, c_in)
+        v = jnp.einsum("bhwkrc,bhwkr->bhwkc", g, cw.astype(g.dtype))
+        v = v * mask[..., None].astype(g.dtype)
+        return jnp.dot(v.reshape(b, h_out, w_out, kk * c_in),
+                       weight.reshape(kk * c_in, -1),
+                       preferred_element_type=jnp.float32)
+
+    out = gather_and_contract(x.reshape(b * h * w, c_in),
+                              flat_idx + img_base, cw, mask, weight)
     if bias is not None:
         out = out + bias
     return out

@@ -122,12 +122,6 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
     cw = jnp.stack(w_parts, axis=3)      # [B, Q, cams, lvls, 4]
 
     kl = num_cams * num_levels
-    # group weights expanded to channels: [B, Q, kl, C]
-    wc = jnp.broadcast_to(
-        weights.transpose(0, 1, 2, 3, 4)[..., None],
-        (b, q, num_cams, num_levels, num_groups, gdim)
-    ).reshape(b, q, kl, c)
-
     # chunk over Q so the gathered rows never exceed a few hundred MB
     chunk = 8192
     q_pad = -(-q // chunk) * chunk
@@ -138,27 +132,35 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
         widths = [(0, 0), (0, q_pad - q)] + [(0, 0)] * (x.ndim - 2)
         return jnp.pad(x, widths)
 
-    idx_c = pad_q(idx.reshape(b, q, kl, 4)).reshape(
-        b, q_pad // chunk, chunk, kl, 4)
-    cw_c = pad_q(cw.reshape(b, q, kl, 4)).reshape(
-        b, q_pad // chunk, chunk, kl, 4)
-    wc_c = pad_q(wc).reshape(b, q_pad // chunk, chunk, kl, c)
+    nq = q_pad // chunk
+    idx_c = pad_q(idx.reshape(b, q, kl, 4)).reshape(b, nq, chunk, kl, 4)
+    cw_c = pad_q(cw.reshape(b, q, kl, 4)).reshape(b, nq, chunk, kl, 4)
+    # keep attention weights in group form [chunk, kl, G]; the expansion
+    # to channels happens per chunk (materializing [Q, kl, C] costs >0.5GB
+    # per deformable op at flagship sizes)
+    w_c = pad_q(weights.reshape(b, q, kl, num_groups)).reshape(
+        b, nq, chunk, kl, num_groups)
 
+    @jax.checkpoint
     def chunk_fn(args):
-        flat_b, idx_b, cw_b, wc_b = args
+        # remat: recompute the gather in the backward instead of saving
+        # [chunk, kl, 4, C] rows per chunk (~2GB across chunks otherwise)
+        flat_b, idx_b, cw_b, w_b = args
         g = flat_b[idx_b.reshape(-1)]            # ONE gather
         g = g.reshape(chunk, kl, 4, c)
         # bilinear lerp over the 4 corners (fp32 accumulation)
         v = jnp.einsum("nkrc,nkr->nkc", g, cw_b.astype(g.dtype),
                        preferred_element_type=jnp.float32)
-        # weighted reduction over (cam, level)
-        return jnp.einsum("nkc,nkc->nc", v, wc_b.astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
+        # weighted reduction over (cam, level) with per-group weights
+        v = v.reshape(chunk, kl, num_groups, gdim)
+        out = jnp.einsum("nkgd,nkg->ngd", v, w_b.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(chunk, c)
 
     def batch_fn(bi):
         out = jax.lax.map(
             lambda t: chunk_fn((flat[bi],) + t),
-            (idx_c[bi], cw_c[bi], wc_c[bi]))
+            (idx_c[bi], cw_c[bi], w_c[bi]))
         return out.reshape(q_pad, c)[:q]
 
     out = jnp.stack([batch_fn(bi) for bi in range(b)])

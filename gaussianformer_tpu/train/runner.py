@@ -43,13 +43,15 @@ def setup_logging(work_dir: Optional[str] = None):
 class Trainer:
     def __init__(self, cfg: GaussianFormerConfig, train_loader, val_loader,
                  work_dir: str, *, seed: int = 0, print_freq: int = 50,
-                 grad_accumulation: int = 1, use_mesh: bool = True):
+                 grad_accumulation: int = 1, use_mesh: bool = True,
+                 iter_resume: bool = False):
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.work_dir = work_dir
         self.print_freq = print_freq
         self.grad_accumulation = grad_accumulation
+        self.iter_resume = iter_resume
         self.model = BEVSegmentor(**cfg.segmentor_cfg())
         self.loss_fn = build_loss(cfg)
         self.rng = jax.random.PRNGKey(seed)
@@ -74,7 +76,7 @@ class Trainer:
         total_steps = len(self.train_loader) * self.cfg.optim.max_epochs
         # frozen_stages=1 (reference backbone config): stem + stage 1
         frozen = ["img_backbone/conv1", "img_backbone/bn1",
-                  "img_backbone/layer1_"]
+                  "img_backbone/stage1"]
         if self.cfg.freeze_lifter:
             # reference freeze_lifter keeps random_anchors trainable
             # (bev_segmentor.py:40-46); freeze the initializer tower and
@@ -88,7 +90,8 @@ class Trainer:
             grad_max_norm=self.cfg.optim.grad_max_norm,
             warmup_steps=self.cfg.optim.warmup_iters,
             min_lr_ratio=self.cfg.optim.min_lr_ratio,
-            frozen_prefixes=tuple(frozen))
+            frozen_prefixes=tuple(frozen),
+            grad_accumulation=self.grad_accumulation)
         state = create_train_state(variables, tx)
         if self.mesh is not None:
             state = replicate(self.mesh, state)
@@ -131,7 +134,7 @@ class Trainer:
             "params": self._state.params,
             "batch_stats": self._state.batch_stats,
             "opt_state": self._state.opt_state,
-            "epoch": 0, "global_iter": 0,
+            "epoch": 0, "global_iter": 0, "last_iter": 0,
         })
         self._state = self._state.replace(
             params=restored["params"],
@@ -139,17 +142,34 @@ class Trainer:
             opt_state=restored["opt_state"])
         self.epoch = int(restored["epoch"])
         self.global_iter = int(restored["global_iter"])
+        last_iter = int(restored.get("last_iter", 0))
+        if last_iter and hasattr(self.train_loader.sampler,
+                                 "set_last_iter"):
+            # mid-epoch fast-forward (reference CustomDistributedSampler,
+            # dataset/sampler.py:112-118)
+            self.train_loader.sampler.set_last_iter(
+                last_iter * self.train_loader.batch_size)
         logger.info("resumed from %s at epoch %d iter %d", path, self.epoch,
                     self.global_iter)
         return True
 
-    def save(self):
+    def save(self, last_iter: int = 0):
         save_checkpoint(self.work_dir, self.global_iter, {
             "params": self._state.params,
             "batch_stats": self._state.batch_stats,
             "opt_state": self._state.opt_state,
             "epoch": self.epoch, "global_iter": self.global_iter,
+            "last_iter": last_iter,
         })
+
+    def _log_scalars(self, metrics, lr):
+        """Scalar metrics stream (replaces the reference's TensorBoard
+        WrappedTBWriter singleton, misc/tb_wrapper.py): one JSON line per
+        logging step in <work_dir>/metrics.jsonl."""
+        rec = {"epoch": self.epoch, "iter": self.global_iter, "lr": lr,
+               "time": time.time(), **metrics}
+        with open(os.path.join(self.work_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     # -------------------------------------------------------------- train
     def fit(self):
@@ -179,6 +199,11 @@ class Trainer:
                         "data %.2fs step %.2fs", self.epoch, i,
                         metrics["loss"], metrics["grad_norm"], lr,
                         data_time, time.time() - t_data - data_time)
+                    self._log_scalars(metrics, lr)
+                if (self.iter_resume and self.global_iter % 50 == 0):
+                    # iteration-level checkpoint for mid-epoch resume
+                    # (reference --iter-resume, train.py:253-267)
+                    self.save(last_iter=i + 1)
                 t_data = time.time()
             self.epoch += 1
             self.save()

@@ -68,7 +68,7 @@ def _convert_resnet(sd, prefix: str, out_params: Dict, out_stats: Dict,
         m = re.match(r"layer(\d+)\.(\d+)\.(.*)", k)
         if m:
             stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
-            base = f"{dst_prefix}/layer{stage}_{block}"
+            base = f"{dst_prefix}/stage{stage}/layer_{block}"
             if rest.startswith("downsample.0."):
                 _set(out_params, f"{base}/downsample_conv/kernel",
                      conv_w(val))
