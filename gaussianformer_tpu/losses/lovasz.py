@@ -1,4 +1,4 @@
-"""Lovász-softmax loss with static-shape masking.
+"""Lovász-softmax loss with static-shape masking and an analytic VJP.
 
 Math parity with the Berman implementation vendored by the reference
 (loss/utils/lovasz_softmax.py:22-200): per present class c, errors
@@ -8,8 +8,19 @@ indexing (dynamic shape); here they are masked instead: an ignored pixel
 contributes fg = 0 and error = 0, so it sorts behind every positive error
 and its contribution (error * grad) vanishes, and the trailing cumsum
 positions it perturbs only multiply zero errors.
+
+The whole loss carries ONE custom VJP over the probability matrix: the
+Jaccard-gradient vector is a function of the labels only (the sort
+permutation is piecewise-constant in p — exactly how torch.autograd
+differentiates the reference's ``dot(errors.sort(), lovasz_grad(...))``),
+so ``d loss / d p[i, c] = -sign(fg - p) * grad[rank(i)] / #present``.
+Autodiffing the sort/gather graph instead materializes several
+128x-padded copies of the 640k-voxel grid per class; the analytic
+backward is a handful of 1-D ops and one [N, C] stack.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +38,56 @@ def _lovasz_grad_from_sorted(fg_sorted, valid_sorted):
     return jaccard
 
 
+def _per_class(prob_col, fg, validf):
+    """Loss and unsorted Jaccard-gradient vector for one class."""
+    errors = jnp.abs(fg - prob_col) * validf
+    order = jnp.argsort(-errors)
+    fg_sorted = fg[order]
+    valid_sorted = validf[order]
+    grad = _lovasz_grad_from_sorted(fg_sorted, valid_sorted)
+    loss = jnp.sum(errors[order] * grad)
+    grad_unsorted = jnp.zeros_like(grad).at[order].set(grad)
+    return loss, grad_unsorted
+
+
+def _lovasz_forward(probas, labels, validf):
+    c = probas.shape[1]
+    losses, dcols, present = [], [], []
+    # python loop over the (small, static) class count — NOT jax.vmap:
+    # vmap over sort bodies leaks tracers under grad in jax 0.9.0
+    for ci in range(c):
+        fg = (labels == ci).astype(probas.dtype) * validf
+        loss_c, grad_unsorted = _per_class(probas[:, ci], fg, validf)
+        dcols.append(-jnp.sign(fg - probas[:, ci]) * validf * grad_unsorted)
+        losses.append(loss_c)
+        present.append(jnp.sum(fg) > 0)
+    losses = jnp.stack(losses)
+    present = jnp.stack(present)
+    num_present = jnp.maximum(jnp.sum(present), 1)
+    loss = jnp.sum(jnp.where(present, losses, 0.0)) / num_present
+    dp = jnp.stack(
+        [jnp.where(present[ci], dcols[ci], 0.0) for ci in range(c)],
+        axis=1) / num_present
+    return loss, dp
+
+
+@jax.custom_vjp
+def _lovasz(probas, labels, validf):
+    return _lovasz_forward(probas, labels, validf)[0]
+
+
+def _lovasz_fwd(probas, labels, validf):
+    loss, dp = _lovasz_forward(probas, labels, validf)
+    return loss, dp
+
+
+def _lovasz_bwd(dp, g):
+    return g * dp, None, None
+
+
+_lovasz.defvjp(_lovasz_fwd, _lovasz_bwd)
+
+
 def lovasz_softmax(probas, labels, valid=None, classes="present"):
     """probas: [N, C] probabilities; labels: [N] int; valid: [N] bool.
 
@@ -37,34 +98,4 @@ def lovasz_softmax(probas, labels, valid=None, classes="present"):
     if valid is None:
         valid = jnp.ones((n,), bool)
     validf = valid.astype(probas.dtype)
-
-    # python loop over the (small, static) class count — NOT jax.vmap:
-    # vmap over sort-containing bodies leaks tracers under jax.grad in
-    # jax 0.9.0 (see ops/splat.py for the same workaround). Each class is
-    # rematerialized so the backward never holds 18 classes' sorted copies
-    # of a 640k-voxel grid at once.
-    @jax.checkpoint
-    def class_loss(prob_col, fg):
-        errors = jnp.abs(fg - prob_col) * validf
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
-        valid_sorted = validf[order]
-        grad = _lovasz_grad_from_sorted(fg_sorted, valid_sorted)
-        return jnp.sum(errors_sorted * grad)
-
-    # row-major transpose first: the backward of a column slice
-    # materializes a [N, 1] cotangent whose TPU layout pads 128x (312MB at
-    # 640k voxels); rows of the transposed array have 1-D cotangents.
-    probas_t = probas.T
-    losses = []
-    present = []
-    for ci in range(c):
-        fg = (labels == ci).astype(probas.dtype) * validf
-        losses.append(class_loss(probas_t[ci], fg))
-        present.append(jnp.sum(fg) > 0)
-
-    losses = jnp.stack(losses)
-    present = jnp.stack(present)
-    num_present = jnp.maximum(jnp.sum(present), 1)
-    return jnp.sum(jnp.where(present, losses, 0.0)) / num_present
+    return _lovasz(probas, labels.astype(jnp.int32), validf)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.safe_ops import safe_sigmoid
-from ...ops.coords import cartesian, reverse_cartesian
+from ...ops.coords import cartesian, reverse_cartesian, spherical_to_cartesian
 from ...ops.rotation import quaternion_to_rotation_matrix
 from ...ops.deformable import deformable_aggregation
 from ...ops.sparse_conv import submanifold_conv3d, voxel_indices
@@ -97,6 +97,8 @@ class SparseGaussian3DKeyPointsGenerator(nn.Module):
     fix_scale: Tuple[Tuple[float, float, float], ...] = ((0.0, 0.0, 0.0),)
     pc_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
     scale_range: Tuple[float, float] = (0.01, 3.2)
+    xyz_coordinate: str = "cartesian"    # "cartesian" | "polar"
+    phi_activation: str = "sigmoid"      # "sigmoid" | "loop" (polar only)
 
     @property
     def num_pts(self):
@@ -125,7 +127,11 @@ class SparseGaussian3DKeyPointsGenerator(nn.Module):
             quaternion_to_rotation_matrix(anchor[..., 6:10]), -1, -2)
         key_points = jnp.einsum("bpij,bpkj->bpki", rot_t, key_points)
 
-        xyz = cartesian(anchor[..., :3], self.pc_range)
+        if self.xyz_coordinate == "polar":
+            xyz = spherical_to_cartesian(anchor, self.pc_range,
+                                         self.phi_activation)
+        else:
+            xyz = cartesian(anchor[..., :3], self.pc_range)
         return key_points + xyz[:, :, None, :]
 
 
@@ -313,6 +319,8 @@ class SparseGaussian3DRefinementModule(nn.Module):
     semantic_dim: int = 17
     include_opa: bool = True
     semantics_activation: str = "softmax"
+    xyz_coordinate: str = "cartesian"    # "cartesian" | "polar"
+    phi_activation: str = "sigmoid"      # "sigmoid" | "loop" (polar only)
 
     @nn.compact
     def __call__(self, instance_feature, anchor, anchor_embed):
@@ -347,7 +355,11 @@ class SparseGaussian3DRefinementModule(nn.Module):
         output = jnp.concatenate(
             [xyz_a, scale_a, rot, output[..., 10:]], axis=-1)
 
-        xyz = cartesian(xyz_a, self.pc_range)
+        if self.xyz_coordinate == "polar":
+            xyz = spherical_to_cartesian(output, self.pc_range,
+                                         self.phi_activation)
+        else:
+            xyz = cartesian(xyz_a, self.pc_range)
         gs_scales = safe_sigmoid(scale_a)
         gs_scales = (self.scale_range[0]
                      + (self.scale_range[1] - self.scale_range[0]) * gs_scales)

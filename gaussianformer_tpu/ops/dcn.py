@@ -80,18 +80,48 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
     img_base = (jnp.arange(b, dtype=jnp.int32) * (h * w)
                 )[:, None, None, None, None]
 
+    # scan over row chunks, each chunk rematerialized: the full im2col
+    # corner tensor is ~570MB per R101 stage-3 block at 6x864x1600 and the
+    # backward would keep several alive at once. All traced values thread
+    # through carry/xs (closure tracers in scan bodies leak under grad in
+    # jax 0.9.0; see ops/splat.py).
+    rows = 8
+    h_pad = -(-h_out // rows) * rows
+    n_chunks = h_pad // rows
+
+    def pad_rows(a):
+        return jnp.pad(a, [(0, 0), (0, h_pad - h_out)]
+                       + [(0, 0)] * (a.ndim - 2))
+
+    # fold the modulation mask into the corner weights and pack trailing
+    # dims to kk*4: a trailing dim of 4 (or 9) pads up to 32x on TPU,
+    # multiplying the scan's saved xs by gigabytes across 46 DCN blocks
+    cwm = cw * mask[..., None]
+    idx_all = pad_rows(flat_idx + img_base).reshape(
+        b, n_chunks, rows * w_out, kk * 4).transpose(1, 0, 2, 3)
+    cw_all = pad_rows(cwm).reshape(
+        b, n_chunks, rows * w_out, kk * 4).transpose(1, 0, 2, 3)
+    w_mat = weight.reshape(kk * c_in, -1)
+
     @jax.checkpoint
-    def gather_and_contract(x_flat, idx, cw, mask, weight):
+    def row_chunk(x_flat, w_mat, idx, cwc):
         g = x_flat[idx.reshape(-1)]
-        g = g.reshape(b, h_out, w_out, kk, 4, c_in)
-        v = jnp.einsum("bhwkrc,bhwkr->bhwkc", g, cw.astype(g.dtype))
-        v = v * mask[..., None].astype(g.dtype)
-        return jnp.dot(v.reshape(b, h_out, w_out, kk * c_in),
-                       weight.reshape(kk * c_in, -1),
+        g = g.reshape(b, rows * w_out, kk, 4, c_in)
+        v = jnp.einsum("bnkrc,bnkr->bnkc", g,
+                       cwc.reshape(b, rows * w_out, kk, 4).astype(g.dtype))
+        return jnp.dot(v.reshape(b, rows * w_out, kk * c_in), w_mat,
                        preferred_element_type=jnp.float32)
 
-    out = gather_and_contract(x.reshape(b * h * w, c_in),
-                              flat_idx + img_base, cw, mask, weight)
+    def body(carry, xs):
+        x_flat, w_mat = carry
+        idx, cwc = xs
+        return (x_flat, w_mat), row_chunk(x_flat, w_mat, idx, cwc)
+
+    _, out = jax.lax.scan(
+        body, (x.reshape(b * h * w, c_in), w_mat),
+        (idx_all, cw_all))
+    out = out.transpose(1, 0, 2, 3).reshape(b, h_pad, w_out, -1)
+    out = out[:, :h_out]
     if bias is not None:
         out = out + bias
     return out

@@ -133,19 +133,24 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
         return jnp.pad(x, widths)
 
     nq = q_pad // chunk
-    idx_c = pad_q(idx.reshape(b, q, kl, 4)).reshape(b, nq, chunk, kl, 4)
-    cw_c = pad_q(cw.reshape(b, q, kl, 4)).reshape(b, nq, chunk, kl, 4)
+    # trailing dims packed to kl*4 = 96: a trailing dim of 4 pads 32x on
+    # TPU ((..., 4) lanes → 128), costing ~0.5GB per deformable op
+    idx_c = pad_q(idx.reshape(b, q, kl * 4)).reshape(b, nq, chunk, kl * 4)
+    cw_c = pad_q(cw.reshape(b, q, kl * 4)).reshape(b, nq, chunk, kl * 4)
     # keep attention weights in group form [chunk, kl, G]; the expansion
     # to channels happens per chunk (materializing [Q, kl, C] costs >0.5GB
     # per deformable op at flagship sizes)
-    w_c = pad_q(weights.reshape(b, q, kl, num_groups)).reshape(
-        b, nq, chunk, kl, num_groups)
+    w_c = pad_q(weights.reshape(b, q, kl * num_groups)).reshape(
+        b, nq, chunk, kl * num_groups)
 
     @jax.checkpoint
     def chunk_fn(args):
         # remat: recompute the gather in the backward instead of saving
         # [chunk, kl, 4, C] rows per chunk (~2GB across chunks otherwise)
         flat_b, idx_b, cw_b, w_b = args
+        idx_b = idx_b.reshape(chunk, kl, 4)
+        cw_b = cw_b.reshape(chunk, kl, 4)
+        w_b = w_b.reshape(chunk, kl, num_groups)
         g = flat_b[idx_b.reshape(-1)]            # ONE gather
         g = g.reshape(chunk, kl, 4, c)
         # bilinear lerp over the 4 corners (fp32 accumulation)

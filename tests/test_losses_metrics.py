@@ -145,3 +145,41 @@ def test_mean_iou_unseen_class_is_one():
     counts = np.array([[0, 0, 0], [5, 5, 5], [10, 5, 10]], np.int64)
     m, occ, per = compute_iou(counts)
     assert per[0] == 1.0 and per[1] == 1.0
+
+
+def test_lovasz_custom_vjp_matches_autodiff():
+    """The analytic backward equals autodiff of the naive sort-based
+    implementation (torch semantics: gradient flows through `errors`
+    only)."""
+    rng = np.random.RandomState(9)
+    n, c = 60, 4
+    probas = rng.dirichlet(np.ones(c), n).astype(np.float32)
+    labels = rng.randint(0, c, n)
+    valid = rng.rand(n) > 0.2
+
+    def naive_loss(p):
+        validf = jnp.asarray(valid, jnp.float32)
+        tot, cnt = 0.0, 0
+        for ci in range(c):
+            fg = (jnp.asarray(labels) == ci).astype(jnp.float32) * validf
+            if float(jnp.sum(fg)) == 0:
+                continue
+            errors = jnp.abs(fg - p[:, ci]) * validf
+            order = jnp.argsort(-errors)
+            fg_s = fg[order]
+            v_s = validf[order]
+            gts = jnp.sum(fg_s)
+            inter = gts - jnp.cumsum(fg_s)
+            union = gts + jnp.cumsum(v_s - fg_s)
+            jac = 1.0 - inter / jnp.maximum(union, 1e-12)
+            jac = jnp.concatenate([jac[:1], jac[1:] - jac[:-1]])
+            grad = jax.lax.stop_gradient(jac)
+            tot = tot + jnp.sum(errors[order] * grad)
+            cnt += 1
+        return tot / cnt
+
+    g_naive = jax.grad(naive_loss)(jnp.asarray(probas))
+    g_ours = jax.grad(lambda p: lovasz_softmax(
+        p, jnp.asarray(labels), jnp.asarray(valid)))(jnp.asarray(probas))
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_naive),
+                               rtol=1e-4, atol=1e-6)
