@@ -71,6 +71,8 @@ class GaussianLifterV2(nn.Module):
     use_initializer: bool = True
     initializer_depth: int = 101
     initializer_dcn: tuple = (False, False, True, True)
+    initializer_base_channels: int = 64
+    initializer_out_channels: tuple = (128, 128, 128, 128)
     initializer_dtype: str = "float32"
     gt_bin_chunk: int = 16
 
@@ -90,6 +92,8 @@ class GaussianLifterV2(nn.Module):
             feat = ResNetSecondFPN(
                 depth=self.initializer_depth,
                 stage_with_dcn=tuple(self.initializer_dcn),
+                base_channels=self.initializer_base_channels,
+                out_channels=tuple(self.initializer_out_channels),
                 dtype=self.initializer_dtype,
                 name="initialize_backbone")(
                 imgs.reshape((b * n,) + imgs.shape[2:]))

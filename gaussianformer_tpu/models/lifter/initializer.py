@@ -17,6 +17,7 @@ class ResNetSecondFPN(nn.Module):
                                                     True)
     style: str = "caffe"
     with_cp: bool = True
+    base_channels: int = 64
     out_channels: Tuple[int, ...] = (128, 128, 128, 128)
     upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4)
     dtype: str = "float32"
@@ -29,7 +30,8 @@ class ResNetSecondFPN(nn.Module):
         feats = ResNet(
             depth=self.depth, out_indices=self.out_indices,
             style=self.style, stage_with_dcn=self.stage_with_dcn,
-            with_cp=self.with_cp, dtype=dt, name="img_backbone")(imgs)
+            with_cp=self.with_cp, base_channels=self.base_channels,
+            dtype=dt, name="img_backbone")(imgs)
         out = SECONDFPN(
             out_channels=self.out_channels,
             upsample_strides=self.upsample_strides, dtype=dt,

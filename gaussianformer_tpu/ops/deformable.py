@@ -123,7 +123,8 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
 
     kl = num_cams * num_levels
     # chunk over Q so the gathered rows never exceed a few hundred MB
-    chunk = 8192
+    # (adaptive: tiny models shouldn't pad a 336-point query set to 8192)
+    chunk = min(8192, -(-q // 128) * 128)
     q_pad = -(-q // chunk) * chunk
 
     def pad_q(x):
