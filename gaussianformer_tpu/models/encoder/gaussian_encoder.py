@@ -89,4 +89,5 @@ class GaussianOccEncoder(nn.Module):
             else:
                 raise NotImplementedError(f"op {op!r} is not supported")
 
-        return {"representation": predictions, "final_anchor": anchor}
+        return {"representation": predictions, "final_anchor": anchor,
+                "features": instance_feature}

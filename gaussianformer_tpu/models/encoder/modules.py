@@ -280,6 +280,10 @@ class SparseConv3DModule(nn.Module):
         coords, grid_shape = voxel_indices(
             xyz, self.pc_range, self.grid_size)
 
+        # bf16 neighbor gathers on accelerators (fp32 accumulation); the
+        # 125-tap im2col gather dominates this module's cost on TPU
+        cdt = (jnp.bfloat16 if jax.default_backend() != "cpu" else None)
+
         def conv_layer(feats, crds, name, c_in, c_out, use_bias):
             k = self.kernel_size
             w = self.param(
@@ -289,7 +293,8 @@ class SparseConv3DModule(nn.Module):
             bias = (self.param(name + "_bias", nn.initializers.zeros,
                                (c_out,)) if use_bias else None)
             return jax.vmap(
-                lambda f, c: submanifold_conv3d(f, c, grid_shape, w, bias)
+                lambda f, c: submanifold_conv3d(f, c, grid_shape, w, bias,
+                                                compute_dtype=cdt)
             )(feats, crds)
 
         x = instance_feature

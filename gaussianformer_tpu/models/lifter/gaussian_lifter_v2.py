@@ -196,10 +196,12 @@ class GaussianLifterV2(nn.Module):
         keys = jax.random.split(k_pick, b)
         cand = jax.vmap(pad_invalid)(cand, valid, keys)
 
-        # ---- farthest point sampling down to num_anchor
-        sel = jax.vmap(
-            lambda pts: farthest_point_sampling(pts, self.num_anchor)
-        )(cand)
+        # ---- farthest point sampling down to num_anchor (python loop
+        # over the small static batch: the TPU path is a Pallas kernel,
+        # which composes with jit but not with vmap)
+        sel = jnp.stack([
+            farthest_point_sampling(cand[i], self.num_anchor)
+            for i in range(b)])
         anchor_xyz = jnp.take_along_axis(cand, sel[..., None], axis=1)
 
         unit = (anchor_xyz - pc_lo) / (pc_hi - pc_lo)

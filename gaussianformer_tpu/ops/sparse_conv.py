@@ -34,14 +34,17 @@ def voxel_indices(xyz, pc_range, grid_size):
     return jnp.clip(idx, 0, hi), shape
 
 
-def submanifold_conv3d(features, coords, grid_shape, weights, bias=None):
+def submanifold_conv3d(features, coords, grid_shape, weights, bias=None,
+                       compute_dtype=None):
     """One submanifold conv layer.
 
     features: [P, C_in] anchor features.
     coords:   [P, 3] int voxel coords (in-bounds).
     grid_shape: static (X, Y, Z).
     weights:  [K, K, K, C_in, C_out] (K odd).
-    Returns [P, C_out].
+    compute_dtype: dtype for the neighbor gather + matmul (bf16 halves the
+      ~400 MB/layer of gather traffic on TPU; accumulation stays fp32).
+    Returns [P, C_out] float32.
     """
     p = features.shape[0]
     k = weights.shape[0]
@@ -55,6 +58,9 @@ def submanifold_conv3d(features, coords, grid_shape, weights, bias=None):
     c_in = features.shape[1]
     c_out = weights.shape[-1]
     kkk = k * k * k
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
     # pad features with a zero row at index P for missing neighbors
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, c_in), features.dtype)], axis=0)
@@ -73,20 +79,17 @@ def submanifold_conv3d(features, coords, grid_shape, weights, bias=None):
     nb_idx = vox2anchor[nb_flat]
     nb_idx = jnp.where(in_bounds & (nb_idx >= 0), nb_idx, p)
 
-    # one feature gather + one big matmul per anchor chunk (im2col style —
-    # a scan over 125 offsets costs ~125 small launches; this is 2)
+    # one feature gather + one big matmul (im2col style — a scan over 125
+    # offsets would cost 125 small launches, a lax.map over chunks pays
+    # while-carry churn; at bf16 the whole [P, K^3*C] im2col is ~200 MB)
     w_mat = weights.reshape(kkk * c_in, c_out)
-    chunk = min(p, 4096)   # im2col buffer: chunk * K^3 * C_in floats
-    p_pad = -(-p // chunk) * chunk
-    nb_idx = jnp.pad(nb_idx, ((0, p_pad - p), (0, 0)),
-                     constant_values=p).reshape(p_pad // chunk, chunk, kkk)
 
-    def chunk_fn(idx_c):
-        g = feats_pad[idx_c.reshape(-1)].reshape(chunk, kkk * c_in)
-        return jnp.dot(g, w_mat, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+    @jax.checkpoint
+    def im2col_matmul(feats_pad, nb_idx):
+        g = feats_pad[nb_idx.reshape(-1)].reshape(p, kkk * c_in)
+        return jnp.dot(g, w_mat, preferred_element_type=jnp.float32)
 
-    out = jax.lax.map(chunk_fn, nb_idx).reshape(p_pad, c_out)[:p]
+    out = im2col_matmul(feats_pad, nb_idx)
     if bias is not None:
         out = out + bias
     return out

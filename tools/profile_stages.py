@@ -168,9 +168,10 @@ def main():
         v = jax.jit(enc.init, static_argnames=("deterministic",))(
             {"params": rng, "dropout": rng}, anchor, feats128, ms_feats,
             projection_mat, image_wh, deterministic=True)
-        fn = jax.jit(lambda v, a, f: enc.apply(
-            v, a, f, ms_feats, projection_mat, image_wh,
-            deterministic=True))
+        fn = jax.jit(lambda v, a, f: jax.tree_util.tree_map(
+            lambda x: x[0, 0] if hasattr(x, "ndim") and x.ndim >= 2 else x,
+            enc.apply(v, a, f, ms_feats, projection_mat, image_wh,
+                      deterministic=True)))
         return fn, v
 
     if on("encoder"):
