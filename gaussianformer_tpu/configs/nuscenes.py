@@ -191,6 +191,7 @@ class GaussianFormerConfig:
             include_opa=self.include_opa,
             semantic_dim=self.semantic_dim,
             refine_version=self.version,
+            refine_cfg=refine_cfg,
             ffn_cfg=dict(
                 embed_dims=self.embed_dims,
                 feedforward_channels=self.embed_dims * 4,

@@ -1,0 +1,287 @@
+"""Full-model torch→JAX converter coverage: a synthetic reference
+state_dict (exact reference key names, small shapes) must convert with
+zero unmapped keys and land on the real flax variable tree with matching
+shapes (reference naming: model/encoder/gaussian_encoder/*.py,
+model/lifter/gaussian_lifter_v2.py:54-105, model/head/gaussian_head.py:43).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianformer_tpu.configs import get_config
+from gaussianformer_tpu.models import BEVSegmentor
+from gaussianformer_tpu.ops.splat import SplatGridSpec
+from gaussianformer_tpu.utils.torch_convert import convert_full_state_dict
+
+E = 16          # embed_dims
+SEM = 17        # semantic_dim
+NA = 32         # sampled anchors
+RS = 16         # random anchors
+NS = 8          # depth samples
+PTS = 1 + 2     # fix_scale(1) + num_learnable_pts(2)
+GROUPS = 4
+LEVELS = 4
+
+
+def small_cfg():
+    cfg = get_config("prob_gs6400")
+    cfg = dataclasses.replace(
+        cfg, embed_dims=E, num_decoder=1, num_anchor=NA, random_samples=RS,
+        num_depth_samples=NS, num_learnable_pts=2)
+    seg = cfg.segmentor_cfg()
+    # depth 50 = bottleneck blocks, same structure as the released R101
+    # checkpoints incl. DCN stages (BasicBlock/depth-18 has no DCN support,
+    # matching mmseg)
+    seg["backbone_cfg"].update(depth=50, base_channels=8, with_cp=False,
+                               stage_with_dcn=(False, False, True, True))
+    seg["lifter_cfg"].update(num_samples=NS, occ_resolution=(20, 20, 8),
+                             voxel_size=5.0, initializer_depth=18,
+                             initializer_dcn=(False, False, False, False),
+                             initializer_base_channels=8,
+                             initializer_out_channels=(8, 8, 8, 8))
+    seg["head_cfg"]["grid"] = SplatGridSpec(
+        H=20, W=20, D=8, pc_min=(-50.0, -50.0, -5.0), grid_size=5.0,
+        scale_multiplier=4.0)
+    seg["head_cfg"].update(splat_tile_n=320, splat_chunk_g=16)
+    return cfg, seg
+
+
+def _bn_keys(sd, pre, ch):
+    sd[f"{pre}.weight"] = np.ones(ch)
+    sd[f"{pre}.bias"] = np.zeros(ch)
+    sd[f"{pre}.running_mean"] = np.zeros(ch)
+    sd[f"{pre}.running_var"] = np.ones(ch)
+    sd[f"{pre}.num_batches_tracked"] = np.array(0)
+
+
+def synth_resnet18(sd, prefix, base=8, dcn=(False, False, True, True)):
+    """mmseg ResNet-18 (BasicBlock) keys with optional DCN stages."""
+    rng = np.random.RandomState(0)
+    sd[f"{prefix}conv1.weight"] = rng.randn(base, 3, 7, 7)
+    _bn_keys(sd, f"{prefix}bn1", base)
+    ch = base
+    for stage in range(1, 5):
+        in_ch = ch if stage == 1 else ch // 2
+        for block in range(2):
+            pre = f"{prefix}layer{stage}.{block}"
+            cin = in_ch if block == 0 else ch
+            sd[f"{pre}.conv1.weight"] = rng.randn(ch, cin, 3, 3)
+            sd[f"{pre}.conv2.weight"] = rng.randn(ch, ch, 3, 3)
+            if dcn[stage - 1]:
+                sd[f"{pre}.conv2.conv_offset.weight"] = rng.randn(
+                    27, ch, 3, 3)
+                sd[f"{pre}.conv2.conv_offset.bias"] = np.zeros(27)
+            _bn_keys(sd, f"{pre}.bn1", ch)
+            _bn_keys(sd, f"{pre}.bn2", ch)
+            if block == 0 and stage > 1:
+                sd[f"{pre}.downsample.0.weight"] = rng.randn(ch, cin, 1, 1)
+                _bn_keys(sd, f"{pre}.downsample.1", ch)
+        ch *= 2
+
+
+def synth_lrl(sd, prefix, in_dim, embed, in_loops, out_loops):
+    rng = np.random.RandomState(1)
+    idx = 0
+    for _ in range(out_loops):
+        for _ in range(in_loops):
+            sd[f"{prefix}{idx}.weight"] = rng.randn(embed, in_dim)
+            sd[f"{prefix}{idx}.bias"] = np.zeros(embed)
+            in_dim = embed
+            idx += 2
+        sd[f"{prefix}{idx}.weight"] = np.ones(embed)
+        sd[f"{prefix}{idx}.bias"] = np.zeros(embed)
+        idx += 1
+
+
+def synth_resnet50(sd, prefix, base=8, dcn=(False, False, True, True)):
+    """mmseg ResNet-50 (Bottleneck) keys with optional DCN on conv2."""
+    rng = np.random.RandomState(3)
+    sd[f"{prefix}conv1.weight"] = rng.randn(base, 3, 7, 7)
+    _bn_keys(sd, f"{prefix}bn1", base)
+    in_ch = base
+    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+        planes = base * 2 ** (stage - 1)
+        out_ch = planes * 4
+        for block in range(blocks):
+            pre = f"{prefix}layer{stage}.{block}"
+            cin = in_ch if block == 0 else out_ch
+            sd[f"{pre}.conv1.weight"] = rng.randn(planes, cin, 1, 1)
+            sd[f"{pre}.conv2.weight"] = rng.randn(planes, planes, 3, 3)
+            if dcn[stage - 1]:
+                sd[f"{pre}.conv2.conv_offset.weight"] = rng.randn(
+                    27, planes, 3, 3)
+                sd[f"{pre}.conv2.conv_offset.bias"] = np.zeros(27)
+            sd[f"{pre}.conv3.weight"] = rng.randn(out_ch, planes, 1, 1)
+            _bn_keys(sd, f"{pre}.bn1", planes)
+            _bn_keys(sd, f"{pre}.bn2", planes)
+            _bn_keys(sd, f"{pre}.bn3", out_ch)
+            if block == 0:
+                sd[f"{pre}.downsample.0.weight"] = rng.randn(out_ch, cin,
+                                                             1, 1)
+                _bn_keys(sd, f"{pre}.downsample.1", out_ch)
+        in_ch = out_ch
+
+
+def synth_full_state_dict(op_order):
+    rng = np.random.RandomState(2)
+    sd = {}
+    # main backbone (depth 50, dcn stages 3-4) + FPN neck
+    synth_resnet50(sd, "img_backbone.", 8, (False, False, True, True))
+    in_chs = [64, 128, 256]   # stages 2-4 at base_channels=8 (expansion 4)
+    for i, c in enumerate(in_chs):
+        sd[f"img_neck.lateral_convs.{i}.conv.weight"] = rng.randn(E, c, 1, 1)
+        sd[f"img_neck.lateral_convs.{i}.conv.bias"] = np.zeros(E)
+    for i in range(4):  # 3 fpn convs + 1 extra
+        sd[f"img_neck.fpn_convs.{i}.conv.weight"] = rng.randn(E, E, 3, 3)
+        sd[f"img_neck.fpn_convs.{i}.conv.bias"] = np.zeros(E)
+
+    # lifter v2
+    sd["lifter.anchor"] = rng.randn(NA, 8 + SEM)
+    sd["lifter.random_anchors"] = rng.randn(RS, 11 + SEM)
+    sd["lifter.instance_feature"] = np.zeros((NA + RS, E))
+    sd["lifter.projection.1.weight"] = rng.randn(NS + 1, 32)
+    sd["lifter.projection.1.bias"] = np.zeros(NS + 1)
+    synth_resnet18(sd, "lifter.initialize_backbone.img_backbone.", 8,
+                   (False,) * 4)
+    for i, ch in enumerate((8, 8, 8, 8)):   # strides (0.5, 1, 2, 4)
+        cin = [8, 16, 32, 64][i]
+        if i == 0:  # stride 0.5 → conv [O, I, k, k]
+            sd[f"lifter.initialize_backbone.img_neck.deblocks.{i}.0.weight"
+               ] = rng.randn(ch, cin, 2, 2)
+        else:       # deconv [I, O, k, k]
+            k = max(int(round((0.5, 1, 2, 4)[i])), 1)
+            sd[f"lifter.initialize_backbone.img_neck.deblocks.{i}.0.weight"
+               ] = rng.randn(cin, ch, k, k)
+        _bn_keys(sd, f"lifter.initialize_backbone.img_neck.deblocks.{i}.1",
+                 ch)
+
+    # encoder: anchor encoder + per-op layers
+    for part, dims in (("xyz_fc", 3), ("scale_fc", 3), ("rot_fc", 4),
+                       ("opacity_fc", 1), ("semantics_fc", SEM),
+                       ("output_fc", E)):
+        synth_lrl(sd, f"encoder.anchor_encoder.{part}.", dims, E, 1, 2)
+    out_dim = 11 + SEM
+    for i, op in enumerate(op_order):
+        p = f"encoder.layers.{i}."
+        if op == "norm":
+            sd[f"{p}weight"] = np.ones(E)
+            sd[f"{p}bias"] = np.zeros(E)
+        elif op == "ffn":
+            sd[f"{p}layers.0.0.weight"] = rng.randn(4 * E, E)
+            sd[f"{p}layers.0.0.bias"] = np.zeros(4 * E)
+            sd[f"{p}layers.1.weight"] = rng.randn(E, 4 * E)
+            sd[f"{p}layers.1.bias"] = np.zeros(E)
+        elif op == "deformable":
+            sd[f"{p}kps_generator.learnable_fc.weight"] = rng.randn(6, E)
+            sd[f"{p}kps_generator.learnable_fc.bias"] = np.zeros(6)
+            synth_lrl(sd, f"{p}camera_encoder.", 12, E, 1, 2)
+            nw = GROUPS * LEVELS * PTS
+            sd[f"{p}weights_fc.weight"] = np.zeros((nw, E))
+            sd[f"{p}weights_fc.bias"] = np.zeros(nw)
+            sd[f"{p}output_proj.weight"] = rng.randn(E, E)
+            sd[f"{p}output_proj.bias"] = np.zeros(E)
+        elif op == "spconv":
+            # prob configs: use_multi_layer + use_out_proj (reference
+            # config/prob/nuscenes_gs6400.py:195-205)
+            for seq in (0, 3, 6):
+                sd[f"{p}layer.{seq}.weight"] = rng.randn(E, 5, 5, 5, E)
+                sd[f"{p}layer.{seq}.bias"] = np.zeros(E)
+            for seq in (1, 4, 7):
+                sd[f"{p}layer.{seq}.weight"] = np.ones(E)
+                sd[f"{p}layer.{seq}.bias"] = np.zeros(E)
+            sd[f"{p}output_proj.weight"] = rng.randn(E, E)
+            sd[f"{p}output_proj.bias"] = np.zeros(E)
+            sd[f"{p}pc_range"] = np.zeros(6)
+            sd[f"{p}grid_size"] = np.ones(3)
+        elif "refine" in op:
+            synth_lrl(sd, f"{p}layers.", E, E, 2, 2)
+            sd[f"{p}layers.10.weight"] = rng.randn(out_dim, E)
+            sd[f"{p}layers.10.bias"] = np.zeros(out_dim)
+            sd[f"{p}layers.11.scale"] = np.ones(out_dim)
+    return sd
+
+
+def flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def model_shapes():
+    cfg, seg = small_cfg()
+    model = BEVSegmentor(**seg)
+    b, n, h, w = 1, 6, 64, 112
+    rng = jax.random.PRNGKey(0)
+    batch = dict(
+        imgs=jnp.zeros((b, n, h, w, 3)),
+        projection_mat=jnp.broadcast_to(jnp.eye(4), (b, n, 4, 4)),
+        image_wh=jnp.full((b, n, 2), 100.0),
+        occ_xyz=jnp.zeros((b, 20, 20, 8, 3)),
+        occ_label=jnp.zeros((b, 20, 20, 8), jnp.int32),
+        occ_cam_mask=jnp.ones((b, 20, 20, 8), bool),
+    )
+    variables = jax.eval_shape(
+        lambda: model.init({"params": rng, "dropout": rng}, batch["imgs"],
+                           batch["projection_mat"], batch["image_wh"],
+                           occ_xyz=batch["occ_xyz"],
+                           occ_label=batch["occ_label"],
+                           occ_cam_mask=batch["occ_cam_mask"],
+                           training=False, rng=rng))
+    return cfg, variables
+
+
+def test_full_checkpoint_coverage(model_shapes):
+    cfg, variables = model_shapes
+    sd = synth_full_state_dict(cfg.operation_order)
+    params, stats, unmapped = convert_full_state_dict(
+        sd, cfg.operation_order, lifter="v2")
+    assert unmapped == [], f"unmapped reference keys: {unmapped[:20]}"
+
+    flat_model = flatten(jax.tree_util.tree_map(
+        lambda x: x.shape, variables["params"]))
+    flat_conv = flatten(params)
+    missing = [k for k in flat_conv if k not in flat_model]
+    assert not missing, f"converted paths absent from model: {missing[:20]}"
+    bad = [(k, np.shape(v), flat_model[k]) for k, v in flat_conv.items()
+           if tuple(np.shape(v)) != tuple(flat_model[k])]
+    assert not bad, f"shape mismatches: {bad[:10]}"
+
+    # every model param must be covered (no silent gaps in the converter)
+    uncovered = [k for k in flat_model if k not in flat_conv]
+    assert not uncovered, f"model params missed by converter: {uncovered[:20]}"
+
+    flat_stats_model = flatten(jax.tree_util.tree_map(
+        lambda x: x.shape, variables["batch_stats"]))
+    flat_stats = flatten(stats)
+    bad_stats = [k for k in flat_stats if k not in flat_stats_model
+                 or tuple(np.shape(flat_stats[k]))
+                 != tuple(flat_stats_model[k])]
+    assert not bad_stats, f"batch_stats mismatches: {bad_stats[:10]}"
+    uncovered_stats = [k for k in flat_stats_model if k not in flat_stats]
+    assert not uncovered_stats, f"stats missed: {uncovered_stats[:20]}"
+
+
+def test_head_empty_scalar_and_v1_lifter():
+    sd = {
+        "head.empty_scalar": np.array([10.0]),
+        "head.empty_mean": np.zeros(3),
+        "head.empty_scale": np.ones(3),
+        "head.empty_rot": np.array([1.0, 0, 0, 0]),
+        "head.empty_sem": np.zeros(18),
+        "head.empty_opa": np.ones(1),
+        "lifter.anchor": np.zeros((25600, 11 + SEM)),
+        "lifter.instance_feature": np.zeros((25600, E)),
+    }
+    params, _, unmapped = convert_full_state_dict(sd, (), lifter="v1")
+    assert unmapped == []
+    assert params["head"]["empty_scalar"].shape == (1,)
+    assert params["lifter"]["anchor"].shape == (25600, 11 + SEM)
