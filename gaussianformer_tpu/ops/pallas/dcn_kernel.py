@@ -93,14 +93,21 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, win_buf, sem, *,
             rx = cx - (start_c - lead)
             ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
                   & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
-            wgt_c.append((wy * wx * mask * ok).astype(win_buf.dtype))
+            wgt_c.append(wy * wx * mask * ok)
             pos_c.append(jnp.clip(ry, 0, win - 1) * win
                          + jnp.clip(rx, 0, win - 1))
 
-    # M^T in four full-width passes
-    m_t = jnp.zeros((p_win, s_total), win_buf.dtype)
+    # M^T in four full-width passes; where() keeps each pass at
+    # compare+select+add (a separate one-hot cast+multiply costs a 4th
+    # full [p_win, S] VPU pass per corner)
+    # accumulate in f32: i1 compares live in (8,128) tiling like f32, so
+    # the convert is layout-preserving; converting each corner pass to
+    # bf16 would pay a (8,128)->(16,128) relayout per corner
+    m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
     for ci in range(4):
-        m_t = m_t + wgt_c[ci] * (iota_p == pos_c[ci]).astype(win_buf.dtype)
+        m_t32 = m_t32 + ((iota_p == pos_c[ci]).astype(jnp.float32)
+                         * wgt_c[ci])
+    m_t = m_t32.astype(win_buf.dtype)
 
     copy.wait()
     win2d = win_buf[:].reshape(p_win, c_in)
