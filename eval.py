@@ -23,11 +23,14 @@ def main():
 
     from gaussianformer_tpu.configs import get_config
     from gaussianformer_tpu.data import DataLoader
+    from gaussianformer_tpu.data.loader import ShardedSampler
+    from gaussianformer_tpu.parallel.distributed import init_distributed
     from gaussianformer_tpu.train.runner import Trainer, setup_logging
     from gaussianformer_tpu.utils.checkpoint import (latest_checkpoint,
                                                      load_checkpoint)
 
-    setup_logging(args.work_dir)
+    proc_id, num_procs = init_distributed()
+    setup_logging(args.work_dir if proc_id == 0 else None)
     cfg = get_config(args.config)
 
     if args.synthetic:
@@ -45,18 +48,16 @@ def main():
             f"{args.anno_root}/nuscenes_infos_val_sweeps_occ.pkl",
             args.occ_path, data_aug_conf=aug, phase="val")
 
-    val_loader = DataLoader(val_ds, cfg.data.batch_size, shuffle=False)
+    val_loader = DataLoader(val_ds, cfg.data.batch_size,
+                            sampler=ShardedSampler(
+                                len(val_ds), shard_id=proc_id,
+                                num_shards=num_procs, shuffle=False))
     trainer = Trainer(cfg, val_loader, val_loader, args.work_dir)
-    trainer.init_state(next(iter(val_loader)))
+    trainer.init_state(next(iter(val_loader)), inference_only=True)
 
     ckpt = args.ckpt or latest_checkpoint(args.work_dir)
     if ckpt:
-        restored = load_checkpoint(ckpt, {
-            "params": trainer._state.params,
-            "batch_stats": trainer._state.batch_stats,
-            "opt_state": trainer._state.opt_state,
-            "epoch": 0, "global_iter": 0,
-        })
+        restored = load_checkpoint(ckpt)  # full tree; pick weights only
         trainer._state = trainer._state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"])
 

@@ -78,5 +78,11 @@ class MeanIoU:
                        jnp.ravel(mask), self.class_indices, self.empty_label)
         self.counts += np.asarray(c)
 
-    def result(self):
-        return compute_iou(self.counts)
+    def result(self, distributed: bool = False):
+        """distributed=True sums counters across processes first
+        (reference dist.all_reduce, metric_util.py:69-73)."""
+        counts = self.counts
+        if distributed:
+            from ..parallel.distributed import all_reduce_sum_host
+            counts = all_reduce_sum_host(counts)
+        return compute_iou(counts)

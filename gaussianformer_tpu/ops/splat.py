@@ -315,7 +315,217 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
 
 
 # ---------------------------------------------------------------------------
-# Pallas path: fused forward kernel + XLA-recompute backward (custom VJP).
+# Hand-derived backward (mirrors localagg_prob/src/backward.cu:23-123):
+# re-uses the forward's saved normalizers instead of re-running the whole
+# forward graph under autodiff — train-step splat cost ≈ 2x forward.
+# ---------------------------------------------------------------------------
+
+def _det_grad_compact(cov6):
+    """d det(A) / dA in compact-6 layout ([xx, yy, zz, xy, yz, xz]),
+    including the factor 2 on off-diagonals (A symmetric)."""
+    xx, yy, zz = cov6[..., 0], cov6[..., 1], cov6[..., 2]
+    xy, yz, xz = cov6[..., 3], cov6[..., 4], cov6[..., 5]
+    return jnp.stack([
+        yy * zz - yz * yz,
+        xx * zz - xz * xz,
+        xx * yy - xy * xy,
+        2.0 * (yz * xz - zz * xy),
+        2.0 * (xy * xz - xx * yz),
+        2.0 * (xy * yz - yy * xz),
+    ], axis=-1)
+
+
+def _splat_bwd_single(points, points_int, means, means_int, radii, cov_inv6,
+                      opacities, semantics, logits, prob_sum, one_minus,
+                      g_logits, g_bin, g_density, *, variant: str,
+                      chunk_g: int):
+    """Single-batch hand-derived backward.
+
+    For the prob variant, per point n / gaussian g (forward.cu:74-88):
+        power = exp(-1/2 d^T A d),  d = mu - x   (AABB-masked)
+        w_g   = (2 pi)^-1.5 sqrt(det A) opa_g
+        prob  = power w_g
+        logits_c = sum_g sem_gc prob_g / prob_sum
+        bin   = 1 - prod_g (1 - power_g);  density = sum_g power_g
+    so (backward.cu:78-107):
+        gprob[n,g]   = covered_n (g_logits[n] . sem_g - g_logits[n] .
+                       logits[n]) / prob_sum_n
+        gpower[n,g]  = g_density[n] + g_bin[n] (1-bin_n)/(1-power+1e-9)
+                       + gprob w_g
+        glogit[n,g]  = gpower power          (d exp)
+        gmu_g  = -A_g (mu_g S0 - S1),  S_k = sum_n glogit x^k moments
+        gA     = -1/2 d^2 moments (diag), -dx dy moments (off-diag)
+                 + det-term: gw opa norm / (2 sqrt(det)) * ddet/dA
+        gopa_g = gw norm sqrt(det),  gw = sum_n gprob power
+        gsem   = prob^T (covered g_logits / prob_sum)
+
+    Every reduction over n is a matmul against the 10-dim monomial
+    features phi(x), so the whole backward is a scan of MXU blocks with
+    the same chunking as the forward.
+    """
+    n = points.shape[0]
+    p = means.shape[0]
+    c = semantics.shape[-1]
+    p_pad = -(-p // chunk_g) * chunk_g
+    num_chunks = p_pad // chunk_g
+
+    prob = variant == "prob"
+    det = det_compact(cov_inv6)
+    det_safe = jnp.maximum(det, 1e-30)
+    sqrt_det = jnp.sqrt(det_safe)
+    w_g = (_NORM_3D * sqrt_det * opacities) if prob else opacities
+
+    covered = prob_sum > 1e-9 if prob else None
+    if prob:
+        inv_ps = jnp.where(covered, 1.0 / jnp.where(covered, prob_sum, 1.0),
+                           0.0)
+        gl = g_logits * inv_ps[:, None]               # [N, C]
+        dot_gl = jnp.sum(gl * logits, axis=-1)        # [N]
+        bin_term = g_bin * one_minus                  # [N]
+    phi = point_features(points)                      # [N, 10]
+
+    gdata = jnp.concatenate([means, cov_inv6], axis=-1)
+    gdata = _pad_to(gdata, p_pad, 0)
+    means_int_p = _pad_to(means_int, p_pad, 0, value=-(10 ** 6))
+    radii_p = _pad_to(radii, p_pad, 0, value=-1)
+    w_p = _pad_to(w_g, p_pad, 0)
+    sem_p = _pad_to(semantics, p_pad, 0)
+
+    chunks = (
+        gdata.reshape(num_chunks, chunk_g, 9),
+        means_int_p.reshape(num_chunks, chunk_g, 3),
+        radii_p.reshape(num_chunks, chunk_g, 3),
+        w_p.reshape(num_chunks, chunk_g),
+        sem_p.reshape(num_chunks, chunk_g, c),
+    )
+
+    hi = jax.lax.Precision.HIGHEST
+
+    @functools.partial(jax.checkpoint,
+                       policy=jax.checkpoint_policies.nothing_saveable)
+    def chunk_bwd(gd_j, mint_j, rad_j, w_j, sem_j):
+        # recompute the power block (same math as _chunk_step)
+        dx = gd_j[None, :, 0] - points[:, None, 0]
+        dy = gd_j[None, :, 1] - points[:, None, 1]
+        dz = gd_j[None, :, 2] - points[:, None, 2]
+        logit_blk = (-0.5 * (gd_j[None, :, 3] * dx * dx
+                             + gd_j[None, :, 4] * dy * dy
+                             + gd_j[None, :, 5] * dz * dz)
+                     - (gd_j[None, :, 6] * dx * dy
+                        + gd_j[None, :, 7] * dy * dz
+                        + gd_j[None, :, 8] * dx * dz))
+        diff = jnp.abs(points_int[:, None, :] - mint_j[None, :, :])
+        mask = jnp.all(diff <= rad_j[None, :, :], axis=-1)
+        unclamped = logit_blk < 30.0
+        power = jnp.exp(jnp.minimum(logit_blk, 30.0)) * mask
+
+        if prob:
+            gprob = jnp.dot(gl, sem_j.T, precision=hi,
+                            preferred_element_type=jnp.float32) \
+                - dot_gl[:, None]                       # [N, chunk]
+            # d(prod (1-p)) guard exactly as backward.cu:96
+            one_m = 1.0 - jnp.minimum(power, 1.0 - 1e-9) + 1e-9
+            gpower = (g_density[:, None] + bin_term[:, None] / one_m
+                      + gprob * w_j[None, :])
+            gw_j = jnp.sum(gprob * power, axis=0)       # [chunk]
+            prob_blk = power * w_j[None, :]
+            gsem_j = jnp.dot(prob_blk.T, gl, precision=hi,
+                             preferred_element_type=jnp.float32)
+        else:
+            gprob = jnp.dot(g_logits, sem_j.T, precision=hi,
+                            preferred_element_type=jnp.float32)
+            gpower = gprob * w_j[None, :]
+            gw_j = jnp.sum(gprob * power, axis=0)
+            gsem_j = jnp.dot((power * w_j[None, :]).T, g_logits,
+                             precision=hi,
+                             preferred_element_type=jnp.float32)
+
+        glogit = gpower * power * unclamped             # [N, chunk]
+        t = jnp.dot(glogit.T, phi, precision=hi,
+                    preferred_element_type=jnp.float32)  # [chunk, 10]
+        s2 = t[:, 0:6]     # [xx, yy, zz, xy, yz, xz] second moments
+        s1 = t[:, 6:9]
+        s0 = t[:, 9]
+
+        mu = gd_j[:, 0:3]
+        a6 = gd_j[:, 3:9]
+        # gmu = -A (mu S0 - S1)
+        v = mu * s0[:, None] - s1
+        gmu = -jnp.stack([
+            a6[:, 0] * v[:, 0] + a6[:, 3] * v[:, 1] + a6[:, 5] * v[:, 2],
+            a6[:, 3] * v[:, 0] + a6[:, 1] * v[:, 1] + a6[:, 4] * v[:, 2],
+            a6[:, 5] * v[:, 0] + a6[:, 4] * v[:, 1] + a6[:, 2] * v[:, 2],
+        ], axis=-1)
+        # exponent part of gA: sum_n glogit d_i d_j moments
+        m0, m1, m2 = mu[:, 0], mu[:, 1], mu[:, 2]
+        dd_xx = m0 * m0 * s0 - 2.0 * m0 * s1[:, 0] + s2[:, 0]
+        dd_yy = m1 * m1 * s0 - 2.0 * m1 * s1[:, 1] + s2[:, 1]
+        dd_zz = m2 * m2 * s0 - 2.0 * m2 * s1[:, 2] + s2[:, 2]
+        dd_xy = m0 * m1 * s0 - m0 * s1[:, 1] - m1 * s1[:, 0] + s2[:, 3]
+        dd_yz = m1 * m2 * s0 - m1 * s1[:, 2] - m2 * s1[:, 1] + s2[:, 4]
+        dd_xz = m0 * m2 * s0 - m0 * s1[:, 2] - m2 * s1[:, 0] + s2[:, 5]
+        gcov = jnp.stack([-0.5 * dd_xx, -0.5 * dd_yy, -0.5 * dd_zz,
+                          -dd_xy, -dd_yz, -dd_xz], axis=-1)
+        return gmu, gw_j, gsem_j, gcov
+
+    def body(carry, chunk):
+        del carry
+        return 0, chunk_bwd(*chunk)
+
+    _, (gmu, gw, gsem, gcov) = jax.lax.scan(body, 0, chunks)
+    gmu = gmu.reshape(p_pad, 3)[:p]
+    gw = gw.reshape(p_pad)[:p]
+    gsem = gsem.reshape(p_pad, c)[:p]
+    gcov = gcov.reshape(p_pad, 6)[:p]
+
+    if prob:
+        gopa = gw * _NORM_3D * sqrt_det
+        # det term flows into cov_inv6 (det is of the INVERSE entries)
+        gdet = jnp.where(det > 1e-30,
+                         gw * opacities * _NORM_3D / (2.0 * sqrt_det), 0.0)
+        gcov = gcov + gdet[:, None] * _det_grad_compact(cov_inv6)
+    else:
+        gopa = gw
+    return gmu, gopa, gsem, gcov
+
+
+def splat_backward(points, means, opacities, semantics, scales, cov_inv6,
+                   grid: SplatGridSpec, residuals, cotangents, *,
+                   variant: str = "prob", per_axis_radii: bool = True,
+                   chunk_g: int = 512):
+    """Batched hand-derived VJP. ``residuals`` = (logits, prob_sum,
+    one_minus) from the forward (prob) or () (additive); ``cotangents``
+    match the forward outputs. Returns grads for
+    (means, opacities, semantics, cov_inv6)."""
+    points = jax.lax.stop_gradient(points)
+    points_int = grid.voxelize(points)
+    means_int = grid.voxelize(jax.lax.stop_gradient(means))
+    radii = grid.radii(scales, per_axis=per_axis_radii)
+
+    if variant == "prob":
+        logits, prob_sum, one_minus = residuals
+        g_logits, g_bin, g_density = cotangents
+    else:
+        (g_logits,) = cotangents
+        b, n = points.shape[:2]
+        logits = prob_sum = one_minus = None
+        g_bin = g_density = jnp.zeros((b, n), jnp.float32)
+
+    outs = []
+    for bi in range(points.shape[0]):
+        outs.append(_splat_bwd_single(
+            points[bi], points_int[bi], means[bi], means_int[bi],
+            radii[bi], cov_inv6[bi], opacities[bi], semantics[bi],
+            logits[bi] if variant == "prob" else None,
+            prob_sum[bi] if variant == "prob" else None,
+            one_minus[bi] if variant == "prob" else None,
+            g_logits[bi], g_bin[bi], g_density[bi],
+            variant=variant, chunk_g=chunk_g))
+    return tuple(jnp.stack([o[k] for o in outs]) for k in range(4))
+
+
+# ---------------------------------------------------------------------------
+# Pallas path: fused forward kernel + hand-derived backward (custom VJP).
 # ---------------------------------------------------------------------------
 def _postprocess_prob(acc, one_minus, c: int):
     """(acc [N, C+2], one_minus [N]) → (logits, bin_logits, density)."""
@@ -330,16 +540,30 @@ def _postprocess_prob(acc, one_minus, c: int):
     return logits, 1.0 - one_minus, density
 
 
+def _morton2(x, y):
+    """Interleave the low 8 bits of two int arrays (Morton / Z-order)."""
+    def spread(v):
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+    return spread(x & 0xFF) | (spread(y & 0xFF) << 1)
+
+
 def _pack_gaussians(points, means, opacities, semantics, scales, cov_inv6,
                     grid: SplatGridSpec, variant: str, per_axis_radii: bool):
-    """Per-batch packing: phi/pts_int for points; x-sorted psi/box/sem_aug
-    for gaussians (sorting gives the chunk-skip test spatial locality)."""
+    """Per-batch packing: phi/pts_int for points; Morton-sorted
+    psi/box/sem_aug for gaussians. The Z-order sort makes every
+    ``chunk_g``-sized slice spatially *compact in x AND y*, so the
+    kernel's per-chunk AABB skip test (the TPU analog of the reference's
+    sort-based voxel binning, aggregator_impl.cu:152-252) prunes in both
+    horizontal axes instead of one."""
     points_int = grid.voxelize(points)
     means_int = grid.voxelize(jax.lax.stop_gradient(means))
     radii = grid.radii(scales, per_axis=per_axis_radii)
 
     def pack_one(pts, pts_int, mu, mu_int, rad, opa, sem, cov6):
-        order = jnp.argsort(mu_int[:, 0])
+        order = jnp.argsort(_morton2(mu_int[:, 0], mu_int[:, 1]))
         mu, mu_int = mu[order], mu_int[order]
         rad = rad[order]
         opa, sem, cov6 = opa[order], sem[order], cov6[order]
@@ -368,7 +592,7 @@ def _pack_gaussians(points, means, opacities, semantics, scales, cov_inv6,
 
 def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
                            cov_inv6, grid, variant, per_axis_radii, tile_n,
-                           chunk_g, interpret):
+                           chunk_g, interpret, with_aux: bool = False):
     from .pallas.splat_kernel import splat_raw_pallas
     c = semantics.shape[-1]
     pts4, pint, gdata, box, sem_aug = _pack_gaussians(
@@ -376,6 +600,7 @@ def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
         variant, per_axis_radii)
     needs_om = variant == "prob"
     outs = []
+    auxs = []
     for bi in range(points.shape[0]):
         acc, om = splat_raw_pallas(
             pts4[bi], pint[bi], gdata[bi], box[bi], sem_aug[bi],
@@ -383,18 +608,25 @@ def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
             interpret=interpret)
         if variant == "prob":
             outs.append(_postprocess_prob(acc, om, c))
+            auxs.append((acc[:, c], om))
         else:
             outs.append((acc[:, :c],))
-    return tuple(jnp.stack([o[k] for o in outs])
-                 for k in range(len(outs[0])))
+    result = tuple(jnp.stack([o[k] for o in outs])
+                   for k in range(len(outs[0])))
+    if not with_aux:
+        return result
+    aux = (tuple(jnp.stack([a[k] for a in auxs]) for k in range(2))
+           if variant == "prob" else ())
+    return result, aux
 
 
 def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
                   grid, *, variant, per_axis_radii, tile_n, chunk_g,
                   interpret):
-    """Pallas forward with a custom VJP whose backward differentiates the
-    (mathematically identical) XLA path — exact gradients, no hand-derived
-    backward kernel required."""
+    """Pallas forward with the hand-derived backward (splat_backward):
+    the forward's normalizers (prob_sum, one_minus, logits) are saved so
+    the backward is one streaming pass — no full forward recompute under
+    autodiff (mirrors localagg_prob/src/backward.cu:23-123)."""
 
     @jax.custom_vjp
     def f(means, opacities, semantics, cov_inv6):
@@ -403,22 +635,64 @@ def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
             variant, per_axis_radii, tile_n, chunk_g, interpret)
 
     def f_fwd(means, opacities, semantics, cov_inv6):
-        return (f(means, opacities, semantics, cov_inv6),
-                (means, opacities, semantics, cov_inv6))
+        outs, aux = _splat_pallas_fwd_only(
+            points, means, opacities, semantics, scales, cov_inv6, grid,
+            variant, per_axis_radii, tile_n, chunk_g, interpret,
+            with_aux=True)
+        if variant == "prob":
+            logits = outs[0]
+            prob_sum, one_minus = aux
+            res = (means, opacities, semantics, cov_inv6,
+                   (logits, prob_sum, one_minus))
+        else:
+            res = (means, opacities, semantics, cov_inv6, ())
+        return outs, res
 
     def f_bwd(res, g):
-        means, opacities, semantics, cov_inv6 = res
-
-        def xla_fn(means, opacities, semantics, cov_inv6):
-            return splat(points, means, opacities, semantics, scales,
-                         cov_inv6, grid, variant=variant,
-                         per_axis_radii=per_axis_radii, backend="xla")
-
-        _, vjp = jax.vjp(xla_fn, means, opacities, semantics, cov_inv6)
-        return vjp(g)
+        means, opacities, semantics, cov_inv6, residuals = res
+        return splat_backward(
+            points, means, opacities, semantics, scales, cov_inv6, grid,
+            residuals, g, variant=variant, per_axis_radii=per_axis_radii)
 
     f.defvjp(f_fwd, f_bwd)
     return f(means, opacities, semantics, cov_inv6)
+
+
+def splat_pruning_stats(points, means, scales, grid: SplatGridSpec, *,
+                        per_axis_radii: bool = True, tile_n: int = 512,
+                        chunk_g: int = 512):
+    """Measure the Pallas kernel's chunk-skip efficiency for one batch
+    element: fraction of (voxel-tile x gaussian-chunk) blocks whose AABBs
+    overlap and therefore get computed. The TPU analog of the reference's
+    `num_rendered` statistic (duplicateWithKeys pair count,
+    aggregator_impl.cu:193-218) — log this when validating a new config's
+    splat cost."""
+    points_int = grid.voxelize(points)
+    means_int = grid.voxelize(means)
+    radii = grid.radii(scales, per_axis=per_axis_radii)
+    order = jnp.argsort(_morton2(means_int[:, 0], means_int[:, 1]))
+    means_int = means_int[order]
+    radii = radii[order]
+
+    n = points.shape[0]
+    p = means_int.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    p_pad = -(-p // chunk_g) * chunk_g
+    pi = _pad_to(points_int, n_pad, 0, value=10 ** 6)
+    lo_t = jnp.min(pi.reshape(-1, tile_n, 3), axis=1)
+    hi_t = jnp.max(jnp.where(pi > 10 ** 5, -(10 ** 6), pi
+                             ).reshape(-1, tile_n, 3), axis=1)
+    glo = _pad_to(means_int - radii, p_pad, 0, value=10 ** 6)
+    ghi = _pad_to(means_int + radii, p_pad, 0, value=-(10 ** 6))
+    lo_c = jnp.min(glo.reshape(-1, chunk_g, 3), axis=1)
+    hi_c = jnp.max(ghi.reshape(-1, chunk_g, 3), axis=1)
+    overlap = jnp.all((lo_c[None, :] <= hi_t[:, None])
+                      & (hi_c[None, :] >= lo_t[:, None]), axis=-1)
+    computed = int(jnp.sum(overlap))
+    total = overlap.shape[0] * overlap.shape[1]
+    return {"blocks_computed": computed, "blocks_total": total,
+            "fraction": computed / total,
+            "pair_evals": computed * tile_n * chunk_g}
 
 
 def splat_dense_reference(points, means, opacities, semantics, scales,

@@ -62,7 +62,10 @@ class Trainer:
         self._state = None
 
     # -------------------------------------------------------------- setup
-    def init_state(self, example_batch):
+    def init_state(self, example_batch, inference_only: bool = False):
+        """Build the train state. ``inference_only`` skips the optimizer
+        (the reference eval path also builds one, eval.py:100-110 — here
+        eval holds params/batch_stats only)."""
         rng = self.rng
         variables = self.model.init(
             {"params": rng, "dropout": rng},
@@ -73,6 +76,15 @@ class Trainer:
             occ_label=jnp.asarray(example_batch["occ_label"]),
             occ_cam_mask=jnp.asarray(example_batch["occ_cam_mask"]),
             training=True, rng=rng)
+        if inference_only:
+            import optax
+            state = create_train_state(variables, optax.identity())
+            if self.mesh is not None:
+                state = replicate(self.mesh, state)
+            self._state = state
+            self.schedule = lambda _: 0.0
+            self._make_steps()
+            return state
         total_steps = len(self.train_loader) * self.cfg.optim.max_epochs
         # frozen_stages=1 (reference backbone config): stem + stage 1
         frozen = ["img_backbone/conv1", "img_backbone/bn1",
@@ -102,7 +114,7 @@ class Trainer:
     def _make_steps(self):
         model, loss_fn = self.model, self.loss_fn
 
-        def train_step(state, batch, rng):
+        def train_step(state, batch, rng, apply_loss_layers=None):
             def compute_loss(params):
                 out = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
@@ -111,6 +123,7 @@ class Trainer:
                     occ_label=batch["occ_label"],
                     occ_cam_mask=batch["occ_cam_mask"],
                     training=True, rng=rng,
+                    apply_loss_layers=apply_loss_layers,
                     rngs={"dropout": jax.random.fold_in(rng, 1)})
                 loss, logs = loss_fn(out)
                 return loss, logs
@@ -122,8 +135,25 @@ class Trainer:
                        "grad_norm": optax_global_norm(grads)}
             return new_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(train_step, donate_argnums=(0,),
+                                   static_argnums=(3,))
         self._eval_step = make_eval_step(model)
+
+    def _draw_loss_layers(self):
+        """Host-side supervised-layer draw for ``random_k`` with k > 1
+        (reference gaussian_head.py:133-137: k-1 uniform picks from the
+        first num_decoder-1 layers, plus the last). Static tuple → one
+        compiled step variant per layer subset (C(D-1, k-1) variants).
+        Returns None when the head's static selection suffices."""
+        alt = self.cfg.apply_loss_type
+        if not alt.startswith("random_"):
+            return None
+        k = int(alt.split("_")[1])
+        if k <= 1:
+            return None
+        d = self.cfg.num_decoder
+        extra = np.random.choice(d - 1, k - 1, replace=False)
+        return tuple(sorted(extra.tolist() + [d - 1]))
 
     # ------------------------------------------------------------- resume
     def try_resume(self):
@@ -154,6 +184,9 @@ class Trainer:
         return True
 
     def save(self, last_iter: int = 0):
+        if jax.process_index() != 0:
+            # rank-0-only checkpointing (reference train.py:253-281)
+            return
         save_checkpoint(self.work_dir, self.global_iter, {
             "params": self._state.params,
             "batch_stats": self._state.batch_stats,
@@ -189,7 +222,8 @@ class Trainer:
                 data_time = time.time() - t_data
                 self.rng, step_rng = jax.random.split(self.rng)
                 self._state, metrics = self._train_step(
-                    self._state, batch, step_rng)
+                    self._state, batch, step_rng,
+                    self._draw_loss_layers())
                 self.global_iter += 1
                 if i % self.print_freq == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -221,8 +255,11 @@ class Trainer:
             for b in range(out["final_occ"].shape[0]):
                 miou.update(out["final_occ"][b], out["sampled_label"][b],
                             out["occ_mask"][b])
-        m, occ_iou, per_class = miou.result()
-        logger.info("val mIoU %.2f%%  occ IoU %.2f%%", m, occ_iou)
-        for name, iou in zip(miou.label_str, per_class):
-            logger.info("  %s: %.2f%%", name, iou * 100)
+        # cross-process counter reduction (reference metric_util.py:69-73)
+        m, occ_iou, per_class = miou.result(
+            distributed=jax.process_count() > 1)
+        if jax.process_index() == 0:
+            logger.info("val mIoU %.2f%%  occ IoU %.2f%%", m, occ_iou)
+            for name, iou in zip(miou.label_str, per_class):
+                logger.info("  %s: %.2f%%", name, iou * 100)
         return m, occ_iou

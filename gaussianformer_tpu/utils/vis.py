@@ -76,6 +76,74 @@ def save_occ(path: str, occ: np.ndarray, empty_label: int = 17,
     return path
 
 
+def save_gaussian(path: str, means, scales, rotations, semantics,
+                  opacities=None, pc_range=(-50, -50, -5, 50, 50, 3),
+                  opacity_thresh: float = 0.3, scale_thresh: float = 0.05,
+                  max_gaussians: int = 2000, mesh_res: int = 8):
+    """3D ellipsoid render of Gaussians colored by argmax semantics
+    (reference vis.py:345-443 `save_gaussian`, mayavi → matplotlib).
+
+    Each Gaussian is drawn as its 1-sigma ellipsoid: unit-sphere mesh
+    transformed by R @ diag(scales) + mean. Gaussians below the opacity /
+    scale thresholds are dropped (the reference's sparse-gaussian
+    filtering); the largest-opacity ``max_gaussians`` survive.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops.rotation import quaternion_to_rotation_matrix
+    import jax.numpy as jnp
+
+    means = np.asarray(means).reshape(-1, 3)
+    scales = np.asarray(scales).reshape(-1, 3)
+    rots = np.asarray(rotations).reshape(-1, 4)
+    sem = np.asarray(semantics).reshape(means.shape[0], -1)
+    labels = sem.argmax(-1)
+    opa = (np.asarray(opacities).reshape(-1)
+           if opacities is not None and np.size(opacities)
+           else np.ones(len(means)))
+
+    keep = (opa > opacity_thresh) & (scales.max(-1) > scale_thresh)
+    keep &= np.all((means >= np.asarray(pc_range[:3]))
+                   & (means <= np.asarray(pc_range[3:])), axis=-1)
+    idx = np.nonzero(keep)[0]
+    if len(idx) > max_gaussians:
+        idx = idx[np.argsort(-opa[idx])[:max_gaussians]]
+
+    rot_mats = np.asarray(
+        quaternion_to_rotation_matrix(jnp.asarray(rots[idx])))
+
+    # unit sphere mesh
+    u = np.linspace(0, 2 * np.pi, mesh_res)
+    v = np.linspace(0, np.pi, mesh_res)
+    sx = np.outer(np.cos(u), np.sin(v))
+    sy = np.outer(np.sin(u), np.sin(v))
+    sz = np.outer(np.ones_like(u), np.cos(v))
+    sphere = np.stack([sx, sy, sz], axis=-1)  # [res, res, 3]
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig = plt.figure(figsize=(12, 9))
+    ax = fig.add_subplot(projection="3d")
+    for k, gi in enumerate(idx):
+        pts = sphere * scales[gi]
+        pts = pts @ rot_mats[k].T + means[gi]
+        color = NUSC_COLORMAP[min(int(labels[gi]) + 1,
+                                  len(NUSC_COLORMAP) - 1)]
+        ax.plot_surface(pts[..., 0], pts[..., 1], pts[..., 2],
+                        color=color, alpha=min(float(opa[gi]), 1.0),
+                        linewidth=0, antialiased=False, shade=False)
+    ax.set_xlim(pc_range[0], pc_range[3])
+    ax.set_ylim(pc_range[1], pc_range[4])
+    ax.set_zlim(pc_range[2], pc_range[5])
+    ax.set_box_aspect((pc_range[3] - pc_range[0],
+                       pc_range[4] - pc_range[1],
+                       (pc_range[5] - pc_range[2]) * 2))
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def save_gaussian_topdown(path: str, means, scales, semantics,
                           opacities=None, pc_range=(-50, -50, -5, 50, 50, 3),
                           opacity_thresh: float = 0.0):

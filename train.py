@@ -26,9 +26,12 @@ def main():
 
     from gaussianformer_tpu.configs import get_config
     from gaussianformer_tpu.data import DataLoader
+    from gaussianformer_tpu.data.loader import ShardedSampler
+    from gaussianformer_tpu.parallel.distributed import init_distributed
     from gaussianformer_tpu.train.runner import Trainer, setup_logging
 
-    setup_logging(args.work_dir)
+    proc_id, num_procs = init_distributed()
+    setup_logging(args.work_dir if proc_id == 0 else None)
     cfg = get_config(args.config)
     batch_size = args.batch_size or cfg.data.batch_size
 
@@ -54,9 +57,14 @@ def main():
             f"{args.anno_root}/nuscenes_infos_val_sweeps_occ.pkl",
             args.occ_path, data_aug_conf=aug, phase="val")
 
-    train_loader = DataLoader(train_ds, batch_size, shuffle=True,
-                              seed=args.seed)
-    val_loader = DataLoader(val_ds, batch_size, shuffle=False)
+    # per-process data shards (reference CustomDistributedSampler,
+    # dataset/sampler.py:12-137)
+    train_loader = DataLoader(train_ds, batch_size, sampler=ShardedSampler(
+        len(train_ds), shard_id=proc_id, num_shards=num_procs,
+        shuffle=True, seed=args.seed))
+    val_loader = DataLoader(val_ds, batch_size, sampler=ShardedSampler(
+        len(val_ds), shard_id=proc_id, num_shards=num_procs,
+        shuffle=False))
 
     trainer = Trainer(cfg, train_loader, val_loader, args.work_dir,
                       seed=args.seed, print_freq=args.print_freq)

@@ -34,7 +34,8 @@ def main():
     from gaussianformer_tpu.train.runner import setup_logging
     from gaussianformer_tpu.utils.checkpoint import (latest_checkpoint,
                                                      load_checkpoint)
-    from gaussianformer_tpu.utils.vis import save_occ, save_gaussian_topdown
+    from gaussianformer_tpu.utils.vis import (save_occ, save_gaussian,
+                                              save_gaussian_topdown)
 
     setup_logging(args.work_dir)
     cfg = get_config(args.config)
@@ -104,6 +105,11 @@ def main():
         save_gaussian_topdown(
             os.path.join(out_dir, f"frame{i:04d}_gaussians.png"),
             g.means[0], g.scales[0], g.semantics[0],
+            opacities=(g.opacities[0] if g.opacities.shape[-1] else None),
+            pc_range=cfg.pc_range)
+        save_gaussian(
+            os.path.join(out_dir, f"frame{i:04d}_gaussians3d.png"),
+            g.means[0], g.scales[0], g.rotations[0], g.semantics[0],
             opacities=(g.opacities[0] if g.opacities.shape[-1] else None),
             pc_range=cfg.pc_range)
         print(f"rendered frame {i} → {out_dir}")
