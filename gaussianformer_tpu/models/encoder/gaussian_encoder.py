@@ -45,6 +45,12 @@ class GaussianOccEncoder(nn.Module):
         anchor = representation
         instance_feature = rep_features
 
+        # pack the multi-level camera features ONCE for all deformable ops
+        # (the reference's feature_maps_format is likewise hoisted out of
+        # the decoder loop, ops/deformable_aggregation.py:80-117)
+        from ...ops.deformable import pack_feature_maps
+        packed_feats = pack_feature_maps(ms_img_feats)
+
         anchor_encoder = SparseGaussian3DEncoder(
             embed_dims=self.embed_dims,
             include_opa=self.include_opa,
@@ -73,7 +79,7 @@ class GaussianOccEncoder(nn.Module):
             elif op == "deformable":
                 instance_feature = DeformableFeatureAggregation(
                     **(self.deformable_cfg or {}), name=f"op{i}_deformable")(
-                    instance_feature, anchor, anchor_embed, ms_img_feats,
+                    instance_feature, anchor, anchor_embed, packed_feats,
                     projection_mat, image_wh, deterministic=deterministic)
             elif op == "spconv":
                 instance_feature = SparseConv3DModule(

@@ -284,6 +284,13 @@ class SparseConv3DModule(nn.Module):
         # 125-tap im2col gather dominates this module's cost on TPU
         cdt = (jnp.bfloat16 if jax.default_backend() != "cpu" else None)
 
+        # neighbor voxel table is a function of the anchors only — compute
+        # once and share across the stacked conv layers
+        from ...ops.sparse_conv import neighbor_voxels
+        nb_flat = jax.vmap(
+            lambda c: neighbor_voxels(c, grid_shape, self.kernel_size)
+        )(coords)
+
         def conv_layer(feats, crds, name, c_in, c_out, use_bias):
             k = self.kernel_size
             w = self.param(
@@ -293,9 +300,10 @@ class SparseConv3DModule(nn.Module):
             bias = (self.param(name + "_bias", nn.initializers.zeros,
                                (c_out,)) if use_bias else None)
             return jax.vmap(
-                lambda f, c: submanifold_conv3d(f, c, grid_shape, w, bias,
-                                                compute_dtype=cdt)
-            )(feats, crds)
+                lambda f, c, nb: submanifold_conv3d(
+                    f, c, grid_shape, w, bias, compute_dtype=cdt,
+                    nb_flat=nb)
+            )(feats, crds, nb_flat)
 
         x = instance_feature
         if self.use_multi_layer:

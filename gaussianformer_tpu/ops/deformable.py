@@ -57,14 +57,37 @@ def bilinear_sample_nchw(feat, loc):
             + v10 * (lh * hw)[..., None] + v11 * (lh * lw)[..., None])
 
 
-def deformable_aggregation(feature_maps: Sequence[jax.Array],
+def pack_feature_maps(feature_maps: Sequence[jax.Array]):
+    """Column-pack multi-level camera features into one flat row table.
+
+    The reference packs once per forward and feeds every decoder layer's
+    DAF call (ops/deformable_aggregation.py:80-117 feature_maps_format).
+    Pack ONCE outside the op-order loop: the concat moves ~130 MB of
+    bf16 rows, and rebuilding it inside each of the 4 deformable ops
+    costs ~12 ms/call on v5e (XLA does not CSE it across remat
+    boundaries).
+
+    Returns (flat [B, cams * sum(H*W), C], shapes [(H_l, W_l), ...]).
+    """
+    b, num_cams = feature_maps[0].shape[:2]
+    c = feature_maps[0].shape[-1]
+    shapes = tuple((f.shape[2], f.shape[3]) for f in feature_maps)
+    total = sum(h * w for h, w in shapes)
+    flat = jnp.concatenate(
+        [f.reshape(b, num_cams, -1, c) for f in feature_maps], axis=2)
+    return flat.reshape(b, num_cams * total, c), shapes
+
+
+def deformable_aggregation(feature_maps,
                            points_2d: jax.Array,
                            weights: jax.Array,
                            num_groups: int):
     """Fused multi-cam multi-scale sampling + weighted group aggregation.
 
     Args:
-      feature_maps: list over levels of [B, num_cams, H_l, W_l, C].
+      feature_maps: list over levels of [B, num_cams, H_l, W_l, C], or a
+                    prepacked ``pack_feature_maps`` result (preferred when
+                    several ops share the same maps).
       points_2d:    [B, Q, num_cams, 2] normalized (w, h) locations, where
                     Q = num_anchor * num_pts.
       weights:      [B, Q, num_cams, num_levels, num_groups].
@@ -74,24 +97,25 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
     (matches DAF.apply output reshaped, ops/deformable_aggregation.py:7-75).
     """
     b, q, num_cams, _ = points_2d.shape
-    num_levels = len(feature_maps)
-    c = feature_maps[0].shape[-1]
+
+    if isinstance(feature_maps, tuple) and len(feature_maps) == 2 and \
+            isinstance(feature_maps[1], tuple):
+        flat, shapes = feature_maps
+    else:
+        flat, shapes = pack_feature_maps(feature_maps)
+    num_levels = len(shapes)
+    c = flat.shape[-1]
     gdim = c // num_groups
-    dtype = feature_maps[0].dtype
+    dtype = flat.dtype
 
     inside = ((points_2d[..., 0] > 0.0) & (points_2d[..., 0] < 1.0)
               & (points_2d[..., 1] > 0.0) & (points_2d[..., 1] < 1.0))
 
-    # ---- column-pack: one flat [B, cams * sum(H*W), C] row table
-    shapes = [(f.shape[2], f.shape[3]) for f in feature_maps]
     sizes = [h * w for h, w in shapes]
     level_start = [0]
     for s in sizes[:-1]:
         level_start.append(level_start[-1] + s)
     total = sum(sizes)
-    flat = jnp.concatenate(
-        [f.reshape(b, num_cams, -1, c) for f in feature_maps], axis=2)
-    flat = flat.reshape(b, num_cams * total, c)
 
     # ---- per-(level, corner) indices and lerp weights, all fused
     idx_parts = []
@@ -126,12 +150,16 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
 
     # Fold the bilinear corner weights and the per-group attention into
     # ONE combined weight table before the gather loop, so the gathered
-    # rows are consumed by a single fused multiply-reduce (the original
-    # two-einsum form materialized a ~550 MB fp32 intermediate per call).
-    # w2[b, q, kl, 4, G] = cw * attn; broadcast over gdim happens fused.
+    # rows are consumed by a fused multiply-reduce (the original two-einsum
+    # form materialized a ~550 MB fp32 intermediate per call). Layout
+    # [B, G, Q, kl4]: the reduced axis kl4 sits in lanes, and the gathered
+    # rows are consumed per group-slice of their natural 128-lane layout —
+    # storing w2 as [.., kl4, G] makes XLA relayout-copy the full gathered
+    # block instead (~5.7 ms/call), and G-minor lane-pads 32x.
     dtype = flat.dtype
-    w2 = (cw[..., None] * weights[..., None, :]).reshape(
-        b, q, kl4, num_groups).astype(dtype)
+    w2 = jnp.einsum("bqkr,bqkg->bgqkr", cw.reshape(b, q, kl, 4),
+                    weights.reshape(b, q, kl, num_groups)).reshape(
+        b, num_groups, q, kl4).astype(dtype)
     idx_flat = idx.reshape(b, q, kl4)
 
     # Gather in ~250k-row chunks via lax.scan: XLA's TPU gather degrades
@@ -142,19 +170,28 @@ def deformable_aggregation(feature_maps: Sequence[jax.Array],
     q_pad = -(-q // chunk) * chunk
     nq = q_pad // chunk
 
-    def pad_q(x):
-        if x.shape[1] == q_pad:
+    def pad_axis(x, axis):
+        if x.shape[axis] == q_pad:
             return x
-        return jnp.pad(x, [(0, 0), (0, q_pad - q)] + [(0, 0)] *
-                       (x.ndim - 2))
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, q_pad - q)
+        return jnp.pad(x, widths)
 
-    idx_c = pad_q(idx_flat).reshape(b, nq, chunk, kl4)
-    w2_c = pad_q(w2).reshape(b, nq, chunk, kl4, num_groups)
+    idx_c = pad_axis(idx_flat, 1).reshape(b, nq, chunk, kl4)
+    w2_c = jnp.moveaxis(
+        pad_axis(w2, 2).reshape(b, num_groups, nq, chunk, kl4), 2, 1)
 
     @jax.checkpoint
     def chunk_fn(flat_b, ic, wc):
-        g = flat_b[ic.reshape(-1)].reshape(chunk, kl4, num_groups, gdim)
-        return jnp.sum(g * wc[..., None], axis=1, dtype=jnp.float32)
+        # g stays in its natural [rows, 128] lane layout; each group reads
+        # a 32-lane slice, with only the small wc slice broadcast-relaid.
+        g = flat_b[ic.reshape(-1)].reshape(chunk, kl4, c)
+        parts = [
+            jnp.sum(g[:, :, gi * gdim:(gi + 1) * gdim]
+                    * wc[gi][:, :, None], axis=1, dtype=jnp.float32)
+            for gi in range(num_groups)
+        ]
+        return jnp.concatenate(parts, axis=-1)
 
     def one_batch(flat_b, idx_b, w2_b):
         def body(carry, xs):

@@ -77,10 +77,18 @@ def summarize(outdir):
             dur = ev.get("dur", 0) / 1e3  # us → ms
             per_op[name] += dur
             total += dur
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:45]
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:30]
     print(f"# total device op time: {total:.1f} ms (3 iterations)")
     for name, ms in top:
         print(f"{ms:9.2f} ms  {name[:110]}")
+    # grouped by op family (strip trailing .<id> / digits)
+    import re as _re
+    fam = defaultdict(float)
+    for name, ms in per_op.items():
+        fam[_re.sub(r"[.\d]+$", "", name)] += ms
+    print("# --- by family ---")
+    for name, ms in sorted(fam.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{ms:9.2f} ms  {name[:80]}")
 
 
 if __name__ == "__main__":
