@@ -35,7 +35,7 @@ class BEVSegmentor(nn.Module):
                  occ_xyz=None, occ_label=None, occ_cam_mask=None,
                  anchor_points=None, *,
                  training: bool = False, rng: Optional[jax.Array] = None,
-                 rep_only: bool = False,
+                 rep_only: bool = False, occ_only: bool = False,
                  apply_loss_layers: Optional[Sequence[int]] = None
                  ) -> Dict[str, Any]:
         """imgs: [B, N_cam, H, W, 3] normalized images (NHWC).
@@ -91,6 +91,9 @@ class BEVSegmentor(nn.Module):
             training=training, rng=rng_head,
             apply_loss_layers=apply_loss_layers)
 
+        if occ_only:
+            # deployment shape (reference bev_segmentor.py:122-123)
+            return {"final_occ": head_out["final_occ"]}
         result = dict(head_out)
         result["pixel_logits"] = lifter_out.get("pixel_logits")
         result["pixel_gt"] = lifter_out.get("pixel_gt")

@@ -155,6 +155,42 @@ class Trainer:
         extra = np.random.choice(d - 1, k - 1, replace=False)
         return tuple(sorted(extra.tolist() + [d - 1]))
 
+    def load_torch_pretrained(self, backbone_path: Optional[str] = None,
+                              lifter_init_path: Optional[str] = None):
+        """Load reference PyTorch pretrains into the live state:
+        ``backbone_path`` = r101_dcn_fcos3d_pretrain.pth (reference
+        load_from, train.py:156-167), ``lifter_init_path`` = the
+        GaussianLifterV2 initializer (init.pth, reference
+        gaussian_lifter_v2.py:109-117, anchor/instance_feature dropped)."""
+        import torch
+        from ..utils.torch_convert import (convert_backbone_and_neck,
+                                           convert_initializer, merge_into)
+        variables = {"params": self._state.params,
+                     "batch_stats": self._state.batch_stats}
+        if backbone_path:
+            sd = torch.load(backbone_path, map_location="cpu",
+                            weights_only=False)
+            sd = sd.get("state_dict", sd)
+            params, stats = convert_backbone_and_neck(sd)
+            variables = merge_into(variables, params, stats)
+            logger.info("loaded backbone pretrain from %s", backbone_path)
+        if lifter_init_path:
+            sd = torch.load(lifter_init_path, map_location="cpu",
+                            weights_only=False)
+            sd = sd.get("state_dict", sd)
+            sd = {k: v for k, v in sd.items()
+                  if k not in ("anchor", "instance_feature")}
+            params, stats = convert_initializer(sd)
+            variables = merge_into(
+                variables,
+                {"lifter": {"initialize_backbone": params}},
+                {"lifter": {"initialize_backbone": stats}})
+            logger.info("loaded lifter initializer from %s",
+                        lifter_init_path)
+        self._state = self._state.replace(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"])
+
     # ------------------------------------------------------------- resume
     def try_resume(self):
         path = latest_checkpoint(self.work_dir)

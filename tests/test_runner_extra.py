@@ -1,8 +1,10 @@
 """Trainer helpers: host-side random_k layer draw (reference
-gaussian_head.py:133-137) and inference-only state init."""
+gaussian_head.py:133-137), inference-only state init, and torch
+pretrain loading."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 from gaussianformer_tpu.configs import get_config
 from gaussianformer_tpu.train.runner import Trainer
@@ -38,3 +40,66 @@ def test_draw_loss_layers_random_3():
         assert all(0 <= x < d for x in layers)
         seen.add(layers)
     assert len(seen) > 1                    # actually random
+
+
+def test_load_torch_pretrained_lifter_init(tmp_path):
+    """A synthetic torch init.pth (reference naming) lands on the live
+    train state's lifter initializer tower with matching shapes."""
+    import torch
+    from gaussianformer_tpu.data import DataLoader, SyntheticOccDataset
+    from gaussianformer_tpu.ops.splat import SplatGridSpec
+    from tests.test_converter_full import synth_resnet18, _bn_keys
+
+    cfg = dataclasses.replace(
+        get_config("prob_gs6400"), embed_dims=16, num_decoder=1,
+        num_anchor=16, random_samples=8, num_depth_samples=8,
+        num_learnable_pts=2)
+    ds = SyntheticOccDataset(num_samples=2, image_size=(64, 112),
+                             grid=(20, 20, 8))
+    loader = DataLoader(ds, 1)
+    t = Trainer(cfg, loader, None, str(tmp_path), use_mesh=False)
+    seg = cfg.segmentor_cfg()
+    seg["backbone_cfg"].update(depth=18, base_channels=8, with_cp=False,
+                               stage_with_dcn=(False,) * 4)
+    seg["lifter_cfg"].update(num_samples=8, occ_resolution=(20, 20, 8),
+                             voxel_size=5.0, initializer_depth=18,
+                             initializer_dcn=(False,) * 4,
+                             initializer_base_channels=8,
+                             initializer_out_channels=(8, 8, 8, 8))
+    seg["head_cfg"]["grid"] = SplatGridSpec(
+        H=20, W=20, D=8, pc_min=(-50.0, -50.0, -5.0), grid_size=5.0,
+        scale_multiplier=4.0)
+    seg["head_cfg"].update(splat_tile_n=320, splat_chunk_g=16)
+    from gaussianformer_tpu.models import BEVSegmentor
+    t.model = BEVSegmentor(**seg)
+    t.init_state(next(iter(loader)), inference_only=True)
+
+    sd = {}
+    synth_resnet18(sd, "img_backbone.", 8, (False,) * 4)
+    rng = np.random.RandomState(0)
+    for i, ch in enumerate((8, 8, 8, 8)):
+        cin = [8, 16, 32, 64][i]
+        if i == 0:
+            sd[f"img_neck.deblocks.{i}.0.weight"] = rng.randn(ch, cin, 2, 2)
+        else:
+            k = max(int(round((0.5, 1, 2, 4)[i])), 1)
+            sd[f"img_neck.deblocks.{i}.0.weight"] = rng.randn(cin, ch, k, k)
+        _bn_keys(sd, f"img_neck.deblocks.{i}.1", ch)
+    sd["anchor"] = np.zeros((16, 25))               # must be dropped
+    sd["instance_feature"] = np.zeros((24, 16))
+    path = tmp_path / "init.pth"
+    torch.save({"state_dict": {k: torch.as_tensor(np.asarray(v, np.float32))
+                               for k, v in sd.items()}}, path)
+
+    before = np.asarray(
+        t._state.params["lifter"]["initialize_backbone"]["img_backbone"]
+        ["conv1"]["kernel"]).copy()
+    t.load_torch_pretrained(lifter_init_path=str(path))
+    after = np.asarray(
+        t._state.params["lifter"]["initialize_backbone"]["img_backbone"]
+        ["conv1"]["kernel"])
+    assert after.shape == before.shape
+    assert not np.allclose(after, before)
+    np.testing.assert_allclose(
+        after, np.transpose(sd["img_backbone.conv1.weight"], (2, 3, 1, 0)),
+        rtol=1e-6)

@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--synthetic-samples", type=int, default=8)
     ap.add_argument("--print-freq", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backbone-pretrain", default=None,
+                    help="torch ckpt for backbone+neck "
+                         "(r101_dcn_fcos3d_pretrain.pth)")
+    ap.add_argument("--lifter-init-ckpt", default=None,
+                    help="torch ckpt for the v2 lifter initializer "
+                         "(init.pth)")
     args = ap.parse_args()
 
     from gaussianformer_tpu.configs import get_config
@@ -68,6 +74,11 @@ def main():
 
     trainer = Trainer(cfg, train_loader, val_loader, args.work_dir,
                       seed=args.seed, print_freq=args.print_freq)
+    if args.backbone_pretrain or args.lifter_init_ckpt:
+        trainer.init_state(next(iter(train_loader)))
+        trainer.load_torch_pretrained(args.backbone_pretrain,
+                                      args.lifter_init_ckpt)
+        trainer.try_resume()
     trainer.fit()
 
 
