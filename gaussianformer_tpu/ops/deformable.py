@@ -75,13 +75,7 @@ def pack_feature_maps(feature_maps: Sequence[jax.Array]):
     total = sum(h * w for h, w in shapes)
     flat = jnp.concatenate(
         [f.reshape(b, num_cams, -1, c) for f in feature_maps], axis=2)
-    flat = flat.reshape(b, num_cams * total, c)
-    # widened rows: row r = [flat[r], flat[r+1]] so one gather descriptor
-    # serves both x-corners of a bilinear sample (TPU gathers are
-    # descriptor-bound, not byte-bound). The wrap row at the end is only
-    # ever read with zero weight.
-    flat2 = jnp.concatenate([flat, jnp.roll(flat, -1, axis=1)], axis=-1)
-    return flat2, shapes
+    return flat.reshape(b, num_cams * total, c), shapes
 
 
 def deformable_aggregation(feature_maps,
@@ -110,7 +104,7 @@ def deformable_aggregation(feature_maps,
     else:
         flat, shapes = pack_feature_maps(feature_maps)
     num_levels = len(shapes)
-    c = flat.shape[-1] // 2           # rows are widened x-corner pairs
+    c = flat.shape[-1]
     gdim = c // num_groups
     dtype = flat.dtype
 
@@ -123,16 +117,7 @@ def deformable_aggregation(feature_maps,
         level_start.append(level_start[-1] + s)
     total = sum(sizes)
 
-    # ---- per-(level, y-corner) PAIR indices and slot weights.
-    # The x-corners (w0, w0+1) are adjacent table rows, so a widened
-    # table whose row r holds [flat[r], flat[r+1]] serves both corners
-    # with ONE gather descriptor — TPU gathers are descriptor-bound
-    # (~130-200M rows/s regardless of row bytes), so halving the row
-    # count halves the gather time. Rows per query: 2*kl instead of 4*kl.
-    #
-    # Edge case w0 == -1 (w_im in (-0.5, 0)): only the x1 corner (x=0)
-    # is valid; the pair base clips to 0, so x1's weight moves to slot 0
-    # (slot s samples column base+s of the pair row).
+    # ---- per-(level, corner) indices and lerp weights, all fused
     idx_parts = []
     w_parts = []
     cam_base = (jnp.arange(num_cams, dtype=jnp.int32) * total)[None, None, :]
@@ -145,45 +130,36 @@ def deformable_aggregation(feature_maps,
         lw = w_im - w0
         h0 = h0.astype(jnp.int32)
         w0 = w0.astype(jnp.int32)
-
-        wx0 = (1.0 - lw) * (w0 >= 0)          # x-low corner valid
-        wx1 = lw * (w0 + 1 <= w - 1)          # x-high corner valid
-        shift = w0 < 0                        # pair base clipped up to 0
-        slot0 = jnp.where(shift, wx1, wx0)
-        slot1 = jnp.where(shift, 0.0, wx1)
-        base_col = jnp.clip(w0, 0, w - 1)
-
-        hs = jnp.stack([h0, h0 + 1], axis=-1)             # [B, Q, cams, 2]
-        wy = jnp.stack([1.0 - lh, lh], axis=-1)
-        yv = (hs >= 0) & (hs <= h - 1) & inside[..., None]
-        rows = (jnp.clip(hs, 0, h - 1) * w + base_col[..., None]
+        hs = jnp.stack([h0, h0, h0 + 1, h0 + 1], axis=-1)
+        ws = jnp.stack([w0, w0 + 1, w0, w0 + 1], axis=-1)
+        cw = jnp.stack([(1 - lh) * (1 - lw), (1 - lh) * lw,
+                        lh * (1 - lw), lh * lw], axis=-1)
+        valid = ((hs >= 0) & (hs <= h - 1) & (ws >= 0) & (ws <= w - 1)
+                 & inside[..., None])
+        cw = cw * valid
+        rows = (jnp.clip(hs, 0, h - 1) * w + jnp.clip(ws, 0, w - 1)
                 + level_start[lvl] + cam_base[..., None])
-        cw_pair = (wy * yv) [..., None] * jnp.stack(
-            [slot0, slot1], axis=-1)[..., None, :]        # [B, Q, cams, 2, 2]
-        idx_parts.append(rows)               # [B, Q, cams, 2]
-        w_parts.append(cw_pair)
+        idx_parts.append(rows)          # [B, Q, cams, 4]
+        w_parts.append(cw)
 
-    idx = jnp.stack(idx_parts, axis=3)       # [B, Q, cams, lvls, 2]
-    cw = jnp.stack(w_parts, axis=3)          # [B, Q, cams, lvls, 2, 2]
+    idx = jnp.stack(idx_parts, axis=3)   # [B, Q, cams, lvls, 4]
+    cw = jnp.stack(w_parts, axis=3)      # [B, Q, cams, lvls, 4]
 
     kl = num_cams * num_levels
-    kl4 = kl * 2                             # gathered rows per query
+    kl4 = kl * 4
 
-    # Fold the bilinear slot weights and the per-group attention into
+    # Fold the bilinear corner weights and the per-group attention into
     # ONE combined weight table before the gather loop, so the gathered
     # rows are consumed by a fused multiply-reduce (the original two-einsum
     # form materialized a ~550 MB fp32 intermediate per call). Layout
-    # [B, slot, G, Q, kl4]: the reduced axis kl4 sits in lanes, and the
-    # gathered rows are consumed per (slot, group)-slice of their natural
-    # lane layout — storing small dims minor lane-pads 32x, and XLA would
-    # relayout-copy the full gathered block inside the scan (~5.7 ms/call).
+    # [B, G, Q, kl4]: the reduced axis kl4 sits in lanes, and the gathered
+    # rows are consumed per group-slice of their natural 128-lane layout —
+    # storing w2 as [.., kl4, G] makes XLA relayout-copy the full gathered
+    # block instead (~5.7 ms/call), and G-minor lane-pads 32x.
     dtype = flat.dtype
-    # cw: [B, Q, cams, lvls, 2(y), 2(slot)]; attention weights repeat over
-    # the y-corner axis.
-    w2 = jnp.einsum("bqkys,bqkg->bsgqky",
-                    cw.reshape(b, q, kl, 2, 2),
+    w2 = jnp.einsum("bqkr,bqkg->bgqkr", cw.reshape(b, q, kl, 4),
                     weights.reshape(b, q, kl, num_groups)).reshape(
-        b, 2, num_groups, q, kl4).astype(dtype)
+        b, num_groups, q, kl4).astype(dtype)
     idx_flat = idx.reshape(b, q, kl4)
 
     # Gather in ~250k-row chunks via lax.scan: XLA's TPU gather degrades
@@ -203,24 +179,18 @@ def deformable_aggregation(feature_maps,
 
     idx_c = pad_axis(idx_flat, 1).reshape(b, nq, chunk, kl4)
     w2_c = jnp.moveaxis(
-        pad_axis(w2, 3).reshape(b, 2, num_groups, nq, chunk, kl4), 3, 1)
+        pad_axis(w2, 2).reshape(b, num_groups, nq, chunk, kl4), 2, 1)
 
     @jax.checkpoint
     def chunk_fn(flat_b, ic, wc):
-        # g stays in its natural [rows, 2C] lane layout; each (slot,
-        # group) reads a 32-lane slice, with only the small wc slice
-        # broadcast-relaid.
-        g = flat_b[ic.reshape(-1)].reshape(chunk, kl4, 2 * c)
-        parts = []
-        for gi in range(num_groups):
-            acc = None
-            for s in range(2):
-                lo = s * c + gi * gdim
-                term = jnp.sum(g[:, :, lo:lo + gdim]
-                               * wc[s, gi][:, :, None], axis=1,
-                               dtype=jnp.float32)
-                acc = term if acc is None else acc + term
-            parts.append(acc)
+        # g stays in its natural [rows, 128] lane layout; each group reads
+        # a 32-lane slice, with only the small wc slice broadcast-relaid.
+        g = flat_b[ic.reshape(-1)].reshape(chunk, kl4, c)
+        parts = [
+            jnp.sum(g[:, :, gi * gdim:(gi + 1) * gdim]
+                    * wc[gi][:, :, None], axis=1, dtype=jnp.float32)
+            for gi in range(num_groups)
+        ]
         return jnp.concatenate(parts, axis=-1)
 
     def one_batch(flat_b, idx_b, w2_b):
