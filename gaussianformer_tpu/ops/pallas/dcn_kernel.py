@@ -105,8 +105,7 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, win_buf, sem, *,
     # bf16 would pay a (8,128)->(16,128) relayout per corner
     m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
     for ci in range(4):
-        m_t32 = m_t32 + ((iota_p == pos_c[ci]).astype(jnp.float32)
-                         * wgt_c[ci])
+        m_t32 = m_t32 + jnp.where(iota_p == pos_c[ci], wgt_c[ci], 0.0)
     m_t = m_t32.astype(win_buf.dtype)
 
     copy.wait()
