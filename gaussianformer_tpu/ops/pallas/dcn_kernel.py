@@ -33,33 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, offm_ref, w_ref, out_ref, win_buf, sem, *,
+def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
             h: int, w: int, c_in: int, c_out: int, win: int, tile: int,
-            num_tc: int):
+            num_tc: int, w_strip: int):
     i = pl.program_id(1)
-    j = pl.program_id(2)
     b = pl.program_id(0)
     lead = (win - tile) // 2
     kk = 9
 
-    # x arrives pre-padded by `lead` on top/left, so the window DMA start
-    # is exactly (i*T, j*T) — always sublane-aligned (Mosaic requires the
-    # second-minor slice start to be provably tile-aligned).
-    start_r = i * tile          # padded coords; global origin = i*T - lead
-    start_c = j * tile
-
+    # One DMA per TILE ROW: adjacent windows overlap by (win - tile)
+    # columns, so the strip read moves ~3x fewer bytes than per-tile
+    # windows, and the per-invocation fixed cost is amortized over
+    # num_tc tiles. x arrives pre-padded by `lead` on top/left, so the
+    # strip starts exactly at row i*T (sublane-aligned).
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(start_r, win), pl.ds(start_c, win), :],
-        win_buf, sem)
+        x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
     copy.start()
 
-    # ---- sample geometry: everything lives on [1, S] lane vectors with
-    # s = k*64 + p (tap-major), so the M build runs at full lane width
     s_total = kk * tile * tile
-    off_y = offm_ref[0, 0, 0:1, :]
-    off_x = offm_ref[0, 0, 1:2, :]
-    mask = offm_ref[0, 0, 2:3, :]
-
+    p_win = win * win
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_total), 1)
     p_idx = q_iota % (tile * tile)
     py = (p_idx // tile).astype(jnp.float32)
@@ -67,60 +59,72 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, win_buf, sem, *,
     tap = q_iota // (tile * tile)
     tap_y = (tap // 3 - 1).astype(jnp.float32)
     tap_x = (tap % 3 - 1).astype(jnp.float32)
-
-    sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
-    sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
-
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    fy = sy - y0
-    fx = sx - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    p_win = win * win
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
 
-    # per-corner position/weight tables, all [1, S]
-    pos_c, wgt_c = [], []
-    for dy in (0, 1):
-        for dx in (0, 1):
-            cy = y0i + dy
-            cx = x0i + dx
-            wy = fy if dy == 1 else 1.0 - fy
-            wx = fx if dx == 1 else 1.0 - fx
-            ry = cy - (start_r - lead)      # window-relative (global frame)
-            rx = cx - (start_c - lead)
-            ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
-                  & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
-            wgt_c.append(wy * wx * mask * ok)
-            pos_c.append(jnp.clip(ry, 0, win - 1) * win
-                         + jnp.clip(rx, 0, win - 1))
-
-    # M^T in four full-width passes; where() keeps each pass at
-    # compare+select+add (a separate one-hot cast+multiply costs a 4th
-    # full [p_win, S] VPU pass per corner)
-    # accumulate in f32: i1 compares live in (8,128) tiling like f32, so
-    # the convert is layout-preserving; converting each corner pass to
-    # bf16 would pay a (8,128)->(16,128) relayout per corner
-    m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
-    for ci in range(4):
-        m_t32 = m_t32 + jnp.where(iota_p == pos_c[ci], wgt_c[ci], 0.0)
-    m_t = m_t32.astype(win_buf.dtype)
-
     copy.wait()
-    win2d = win_buf[:].reshape(p_win, c_in)
 
-    acc = jax.lax.dot_general(
-        m_t, win2d, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(win_buf.dtype)
+    def one_tile(j, _):
+        # ---- sample geometry: everything lives on [1, S] lane vectors
+        # with s = k*64 + p (tap-major), so the M build runs at full
+        # lane width
+        off_y = offm_ref[0, j, 0:1, :]
+        off_x = offm_ref[0, j, 1:2, :]
+        mask = offm_ref[0, j, 2:3, :]
 
-    out = jnp.zeros((tile * tile, c_out), jnp.float32)
-    for k in range(kk):
-        out = out + jax.lax.dot_general(
-            acc[k * tile * tile:(k + 1) * tile * tile, :], w_ref[k],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    out_ref[0] = out.reshape(tile, tile, c_out).astype(out_ref.dtype)
+        start_r = i * tile      # padded coords; global origin - lead
+        start_c = j * tile
+
+        sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
+        sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
+
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = sy - y0
+        fx = sx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+
+        # per-corner position/weight tables, all [1, S]
+        pos_c, wgt_c = [], []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cy = y0i + dy
+                cx = x0i + dx
+                wy = fy if dy == 1 else 1.0 - fy
+                wx = fx if dx == 1 else 1.0 - fx
+                ry = cy - (start_r - lead)   # window-relative coords
+                rx = cx - (start_c - lead)
+                ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
+                      & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
+                wgt_c.append(wy * wx * mask * ok)
+                pos_c.append(jnp.clip(ry, 0, win - 1) * win
+                             + jnp.clip(rx, 0, win - 1))
+
+        # M^T: 4 corner passes; where() keeps each at compare+select+add,
+        # and f32 accumulation shares (8,128) tiling with the i1 compares
+        # (a bf16 convert per corner would pay a relayout each time)
+        m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
+        for ci in range(4):
+            m_t32 = m_t32 + jnp.where(iota_p == pos_c[ci], wgt_c[ci], 0.0)
+        m_t = m_t32.astype(strip_buf.dtype)
+
+        win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
+
+        acc = jax.lax.dot_general(
+            m_t, win2d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(strip_buf.dtype)
+
+        out = jnp.zeros((tile * tile, c_out), jnp.float32)
+        for k in range(kk):
+            out = out + jax.lax.dot_general(
+                acc[k * tile * tile:(k + 1) * tile * tile, :], w_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[0, :, pl.ds(j * tile, tile), :] = out.reshape(
+            tile, tile, c_out).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_tc, one_tile, 0)
 
 
 def _pack_offm(offset, mask, num_tr, num_tc, tile):
@@ -165,28 +169,29 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
                      (lead, num_tc * tile + lead - w),
                      (0, 0)))
 
+    w_strip = num_tc * tile + 2 * lead
     kernel = functools.partial(
         _kernel, h=h, w=w, c_in=c_in, c_out=c_out, win=win, tile=tile,
-        num_tc=num_tc)
+        num_tc=num_tc, w_strip=w_strip)
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, num_tr, num_tc),
+        grid=(b, num_tr),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),        # x stays in HBM
-            pl.BlockSpec((1, 1, 8, 9 * tile * tile),
-                         lambda bb, ii, jj: (bb, ii * num_tc + jj, 0, 0),
+            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
+                         lambda bb, ii: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, tile, c_out),
-            lambda bb, ii, jj: (bb, ii, jj, 0),
+            (1, tile, num_tc * tile, c_out),
+            lambda bb, ii: (bb, ii, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (b, num_tr * tile, num_tc * tile, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((win, win, c_in), x.dtype),
+            pltpu.VMEM((win, w_strip, c_in), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
