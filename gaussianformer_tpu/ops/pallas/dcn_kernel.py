@@ -201,7 +201,8 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
 
 def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
                          stride: int = 1, padding: int = 1,
-                         dilation: int = 1, win: int = 24, tile: int = 8):
+                         dilation: int = 1, win: int = 24, tile: int = 8,
+                         interpret: bool = False):
     """DCNv2 with a Pallas forward and an XLA-recompute backward.
 
     The backward differentiates the mathematically-identical gather path
@@ -214,16 +215,21 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
     @jax.custom_vjp
     def f(x, offset, mask, weight):
         return deform_conv2d_pallas_fwd(x, offset, mask, weight,
-                                        win=win, tile=tile)
+                                        win=win, tile=tile,
+                                        interpret=interpret)
 
     def f_fwd(x, offset, mask, weight):
         return f(x, offset, mask, weight), (x, offset, mask, weight)
 
     def f_bwd(res, g):
         x, offset, mask, weight = res
+        # the gather path accumulates in f32; cast its output to the
+        # Pallas forward's dtype so the incoming (bf16) cotangent's JAX
+        # type matches the differentiated function's output type
         _, vjp = jax.vjp(
-            lambda *a: deform_conv2d(*a, stride=stride, padding=padding,
-                                     dilation=dilation), x, offset, mask,
+            lambda *a: deform_conv2d(
+                *a, stride=stride, padding=padding,
+                dilation=dilation).astype(x.dtype), x, offset, mask,
             weight)
         return vjp(g)
 

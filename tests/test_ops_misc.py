@@ -183,6 +183,31 @@ class TestPallasDCN:
         out = deform_conv2d_pallas_fwd(x, off, mask, wgt, interpret=True)
         assert jnp.max(jnp.abs(ref - out)) < 1e-4
 
+    def test_pallas_dcn_grad_bf16(self):
+        """Grad through the Pallas DCN wrapper with bf16 activations:
+        the backward's XLA recompute must accept the bf16 cotangent
+        (regression — the f32 gather output made jax.vjp reject it,
+        breaking full-size TPU training)."""
+        import jax
+        import jax.numpy as jnp
+        from gaussianformer_tpu.ops.pallas.dcn_kernel import (
+            deform_conv2d_pallas)
+
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        b, h, w, c = 1, 26, 30, 128
+        x = jax.random.normal(ks[0], (b, h, w, c), jnp.bfloat16)
+        off = jax.random.normal(ks[1], (b, h, w, 18)) * 1.5
+        mask = jax.nn.sigmoid(jax.random.normal(ks[2], (b, h, w, 9)))
+        wgt = jax.random.normal(ks[3], (3, 3, c, 8), jnp.bfloat16) * 0.1
+
+        def loss(x, wgt):
+            out = deform_conv2d_pallas(x, off, mask, wgt, interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, wgt)
+        assert gx.shape == x.shape and gw.shape == wgt.shape
+        assert bool(jnp.any(gx.astype(jnp.float32) != 0))
+
     def test_out_of_window_corners_dropped(self):
         """Offsets beyond the window capacity zero out (documented
         divergence from the unbounded reference op)."""
