@@ -199,6 +199,242 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     return out[:, :h, :w]
 
 
+def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
+                gw_ref, strip_buf, gstrip_buf, sem, *,
+                h: int, w: int, c_in: int, c_out: int, win: int, tile: int,
+                num_tc: int, w_strip: int):
+    """Hand-derived backward for one tile row (mirrors backward.cu's role;
+    reference autograd: ops/deformable_aggregation.py backward).
+
+    Per tile: recompute M and acc (forward math), then
+        g_acc = concat_k (g_out @ W_k^T)           [S, C_in]
+        g_W_k += acc_k^T @ g_out                   (accumulated output)
+        g_M    = win2d . g_acc^T                   [p_win, S]
+        g_win += M @ g_acc                         (strip scratch, x-overlap)
+        gv_c   = sum_p g_M[p, s] [p == pos_c[s]]   (per-corner extraction)
+        g_mask / g_off via the bilinear-weight chain rule on [1, S] rows.
+    Strip grads land in a per-row output (overlap-added in XLA); offset /
+    mask grads reuse the offm packing.
+    """
+    i = pl.program_id(1)
+    b = pl.program_id(0)
+    lead = (win - tile) // 2
+    kk = 9
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
+    copy.start()
+
+    s_total = kk * tile * tile
+    p_win = win * win
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_total), 1)
+    p_idx = q_iota % (tile * tile)
+    py = (p_idx // tile).astype(jnp.float32)
+    px = (p_idx % tile).astype(jnp.float32)
+    tap = q_iota // (tile * tile)
+    tap_y = (tap // 3 - 1).astype(jnp.float32)
+    tap_x = (tap % 3 - 1).astype(jnp.float32)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
+
+    first = (b == 0) & (i == 0)
+
+    @pl.when(first)
+    def _():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gstrip_buf[...] = jnp.zeros_like(gstrip_buf)
+    copy.wait()
+
+    def one_tile(j, _):
+        off_y = offm_ref[0, j, 0:1, :]
+        off_x = offm_ref[0, j, 1:2, :]
+        mask = offm_ref[0, j, 2:3, :]
+
+        start_r = i * tile
+        start_c = j * tile
+        sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
+        sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = sy - y0
+        fx = sx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+
+        corners = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cy = y0i + dy
+                cx = x0i + dx
+                wy = fy if dy == 1 else 1.0 - fy
+                wx = fx if dx == 1 else 1.0 - fx
+                ry = cy - (start_r - lead)
+                rx = cx - (start_c - lead)
+                ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
+                      & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
+                pos = (jnp.clip(ry, 0, win - 1) * win
+                       + jnp.clip(rx, 0, win - 1))
+                corners.append((dy, dx, wy, wx, ok, pos))
+
+        m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
+        for (_, _, wy, wx, ok, pos) in corners:
+            m_t32 = m_t32 + jnp.where(iota_p == pos, wy * wx * mask * ok,
+                                      0.0)
+        m_t = m_t32.astype(strip_buf.dtype)
+
+        win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
+        acc = jax.lax.dot_general(
+            m_t, win2d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(strip_buf.dtype)
+
+        g_out = gout_ref[0, :, pl.ds(j * tile, tile), :].reshape(
+            tile * tile, c_out).astype(strip_buf.dtype)
+
+        # g_W accumulation + g_acc build, per tap
+        g_acc_parts = []
+        for k in range(kk):
+            acc_k = acc[k * tile * tile:(k + 1) * tile * tile, :]
+            gw_ref[k] = gw_ref[k] + jax.lax.dot_general(
+                acc_k, g_out, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_acc_parts.append(jax.lax.dot_general(
+                g_out, w_ref[k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(
+                strip_buf.dtype))
+        g_acc = jnp.concatenate(g_acc_parts, axis=0)        # [S, C_in]
+
+        g_m = jax.lax.dot_general(
+            win2d, g_acc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [p_win, S]
+
+        g_win = jax.lax.dot_general(
+            m_t, g_acc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [p_win, C_in]
+        sl = pl.ds(j * tile, win)
+        gstrip_buf[:, sl, :] = (gstrip_buf[:, sl, :]
+                                + g_win.reshape(win, win, c_in))
+
+        # per-corner extraction + bilinear chain rule on [1, S] rows
+        g_mask = jnp.zeros((1, s_total), jnp.float32)
+        g_sy = jnp.zeros((1, s_total), jnp.float32)
+        g_sx = jnp.zeros((1, s_total), jnp.float32)
+        for (dy, dx, wy, wx, ok, pos) in corners:
+            gv = jnp.sum(jnp.where(iota_p == pos, g_m, 0.0), axis=0,
+                         keepdims=True) * ok
+            g_mask = g_mask + gv * wy * wx
+            g_sy = g_sy + gv * (1.0 if dy == 1 else -1.0) * wx * mask
+            g_sx = g_sx + gv * wy * (1.0 if dx == 1 else -1.0) * mask
+
+        goffm_ref[0, j, 0:1, :] = g_sy
+        goffm_ref[0, j, 1:2, :] = g_sx
+        goffm_ref[0, j, 2:3, :] = g_mask
+        return 0
+
+    jax.lax.fori_loop(0, num_tc, one_tile, 0)
+    gx_ref[0, 0] = gstrip_buf[...].astype(gx_ref.dtype)
+
+
+def _unpack_offm_grads(goffm, b, h, w, num_tr, num_tc, tile):
+    """[B, nt, 8, kk*T*T] grad rows (dy, dx, mask) → offset grad
+    [B, H, W, 2kk] (interleaved) and mask grad [B, H, W, kk]."""
+    kk = 9
+    data = goffm[:, :, :3, :].reshape(
+        b, num_tr, num_tc, 3, kk, tile, tile)
+    data = data.transpose(0, 1, 5, 2, 6, 3, 4)   # [B,tr,T,tc,T,3,kk]
+    data = data.reshape(b, num_tr * tile, num_tc * tile, 3, kk)
+    g_off = jnp.stack([data[..., 0, :], data[..., 1, :]],
+                      axis=-1).reshape(b, num_tr * tile, num_tc * tile,
+                                       2 * kk)
+    g_mask = data[..., 2, :]
+    return g_off[:, :h, :w], g_mask[:, :h, :w]
+
+
+def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
+                             win: int = 24, tile: int = 8,
+                             interpret: bool = False):
+    """Hand-derived gradients for deform_conv2d_pallas_fwd.
+
+    Returns (g_x, g_offset, g_mask, g_weight). Window-overlap
+    accumulation for g_x happens host-side over disjoint per-row strips.
+    """
+    b, h, w, c_in = x.shape
+    k = weight.shape[0]
+    c_out = weight.shape[-1]
+    num_tr = -(-h // tile)
+    num_tc = -(-w // tile)
+    lead = (win - tile) // 2
+    w_strip = num_tc * tile + 2 * lead
+
+    offm = _pack_offm(offset.astype(jnp.float32), mask.astype(jnp.float32),
+                      num_tr, num_tc, tile)
+    w_taps = weight.reshape(k * k, c_in, c_out).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0),
+                     (lead, num_tr * tile + lead - h),
+                     (lead, num_tc * tile + lead - w),
+                     (0, 0)))
+    g_out_p = jnp.pad(g_out, ((0, 0), (0, num_tr * tile - h),
+                              (0, num_tc * tile - w), (0, 0)))
+
+    kernel = functools.partial(
+        _bwd_kernel, h=h, w=w, c_in=c_in, c_out=c_out, win=win, tile=tile,
+        num_tc=num_tc, w_strip=w_strip)
+
+    gx_strips, goffm, gw = pl.pallas_call(
+        kernel,
+        grid=(b, num_tr),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),        # x (padded)
+            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
+                         lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec((1, tile, num_tc * tile, c_out),
+                         lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),       # g_out
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, win, w_strip, c_in),
+                         lambda bb, ii: (bb, ii, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
+                         lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * k, c_in, c_out),
+                         lambda bb, ii: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, num_tr, win, w_strip, c_in),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct(offm.shape, jnp.float32),
+            jax.ShapeDtypeStruct((k * k, c_in, c_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((win, w_strip, c_in), x.dtype),
+            pltpu.VMEM((win, w_strip, c_in), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        # the f32 g_w accumulator (9*C_in*C_out) plus the C=512 strip
+        # buffers exceed the default 16 MB scoped-vmem budget at stage 4
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, offm, w_taps, g_out_p)
+
+    # overlap-add the per-row strips into the padded image grad
+    h_pad = num_tr * tile + 2 * lead
+    g_xp = jnp.zeros((b, h_pad, w_strip, c_in), jnp.float32)
+    for i in range(num_tr):
+        g_xp = g_xp.at[:, i * tile:i * tile + win, :, :].add(
+            gx_strips[:, i])
+    g_x = g_xp[:, lead:lead + h, lead:lead + w].astype(x.dtype)
+
+    g_off, g_mask = _unpack_offm_grads(goffm, b, h, w, num_tr, num_tc,
+                                       tile)
+    return (g_x, g_off.astype(offset.dtype), g_mask.astype(mask.dtype),
+            gw.reshape(k, k, c_in, c_out).astype(weight.dtype))
+
+
 def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
                          stride: int = 1, padding: int = 1,
                          dilation: int = 1, win: int = 24, tile: int = 8,
@@ -223,15 +459,9 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
 
     def f_bwd(res, g):
         x, offset, mask, weight = res
-        # the gather path accumulates in f32; cast its output to the
-        # Pallas forward's dtype so the incoming (bf16) cotangent's JAX
-        # type matches the differentiated function's output type
-        _, vjp = jax.vjp(
-            lambda *a: deform_conv2d(
-                *a, stride=stride, padding=padding,
-                dilation=dilation).astype(x.dtype), x, offset, mask,
-            weight)
-        return vjp(g)
+        return deform_conv2d_pallas_bwd(x, offset, mask, weight, g,
+                                        win=win, tile=tile,
+                                        interpret=interpret)
 
     f.defvjp(f_fwd, f_bwd)
     out = f(x, offset, mask, weight)

@@ -183,6 +183,40 @@ class TestPallasDCN:
         out = deform_conv2d_pallas_fwd(x, off, mask, wgt, interpret=True)
         assert jnp.max(jnp.abs(ref - out)) < 1e-4
 
+    def test_hand_backward_matches_autodiff(self):
+        """The hand-derived Pallas DCN backward == autodiff of the exact
+        gather path (for in-capacity offsets), all four gradients."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from gaussianformer_tpu.ops.dcn import deform_conv2d
+        from gaussianformer_tpu.ops.pallas.dcn_kernel import (
+            deform_conv2d_pallas)
+
+        ks = jax.random.split(jax.random.PRNGKey(7), 5)
+        b, h, w, c = 2, 26, 30, 128
+        x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+        off = jnp.clip(jnp.round(
+            jax.random.normal(ks[1], (b, h, w, 18)) * 1.5 * 16) / 16,
+            -4.0, 4.0) + 1 / 32
+        mask = jax.nn.sigmoid(jax.random.normal(ks[2], (b, h, w, 9)))
+        wgt = jax.random.normal(ks[3], (3, 3, c, 8)) * 0.1
+        g_up = jax.random.normal(ks[4], (b, h, w, 8))
+
+        def loss_ref(x, off, mask, wgt):
+            return jnp.sum(deform_conv2d(x, off, mask, wgt) * g_up)
+
+        def loss_pal(x, off, mask, wgt):
+            return jnp.sum(deform_conv2d_pallas(
+                x, off, mask, wgt, interpret=True) * g_up)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+        gp = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+        for name, a, p in zip(("x", "offset", "mask", "weight"), gr, gp):
+            np.testing.assert_allclose(
+                np.asarray(p), np.asarray(a), rtol=1e-4, atol=1e-3,
+                err_msg=f"grad mismatch for {name}")
+
     def test_pallas_dcn_grad_bf16(self):
         """Grad through the Pallas DCN wrapper with bf16 activations:
         the backward's XLA recompute must accept the bf16 cotangent
