@@ -122,34 +122,38 @@ class GaussianLifterV2(nn.Module):
         pc_hi = jnp.asarray(self.pc_range[3:6], jnp.float32)
         res = jnp.asarray(self.occ_resolution, jnp.int32)
 
-        def bin_points(d):
-            """[K] depths → [B, N, h, w, K, 3] points."""
-            return origin[..., None, :] + ray_dir[..., None, :] * d[:, None]
-
-        # ---- ground-truth occupancy along each ray (training only)
+        # ---- ground-truth occupancy along each ray (training only).
+        # One fused linear-index computation + ONE packed gather per batch:
+        # the earlier lax.map over bin chunks with per-axis 3-D lookups
+        # cost ~840 ms/step on v5e (16.6M scalar gathers, twice, behind a
+        # serialized scan); packing (occupied & visible) into a single
+        # uint8 grid makes it ~one descriptor-bound pass.
         pixel_gt = None
         if compute_gt and occ_label is not None:
-            def gt_chunk(d):
-                pts = bin_points(d)
-                oob = jnp.any((pts < pc_lo) | (pts >= pc_hi), axis=-1)
-                idx = ((pts - pc_lo) / self.voxel_size).astype(jnp.int32)
-                idx = jnp.clip(idx, 0, res - 1)
-
-                def lookup(grid, ix):
-                    return grid[ix[..., 0], ix[..., 1], ix[..., 2]]
-
-                occ = jax.vmap(lookup)(occ_label, idx)
-                valid = jax.vmap(lookup)(occ_cam_mask, idx)
-                occ = jnp.where(oob, self.empty_label, occ)
-                valid = jnp.where(oob, False, valid)
-                return (occ != self.empty_label) & valid
-
-            bin_chunk = min(self.gt_bin_chunk, self.num_samples)
-            chunks = self.num_samples // bin_chunk
-            d_chunks = depth_bins.reshape(chunks, bin_chunk)
-            gt = jax.lax.map(gt_chunk, d_chunks)  # [chunks, B, N, h, w, K]
-            gt = jnp.moveaxis(gt, 0, -2).reshape(
+            gt_grid = ((occ_label != self.empty_label)
+                       & occ_cam_mask).astype(jnp.uint8)
+            gt_flat = gt_grid.reshape(b, -1)
+            # per-axis voxel indices straight from the ray parametrization
+            # (never materializes the [.., K, 3] points tensor)
+            d = depth_bins  # [K]
+            ix_parts = []
+            oob = None
+            for ax in range(3):
+                coord = (origin[..., ax:ax + 1]
+                         + ray_dir[..., ax:ax + 1] * d)   # [B,N,h,w,K]
+                axi = ((coord - pc_lo[ax])
+                       / self.voxel_size).astype(jnp.int32)
+                # out-of-bounds is defined by pc_range (NOT the grid
+                # extent — configs may use a coarser grid than the range)
+                bad = (coord < pc_lo[ax]) | (coord >= pc_hi[ax])
+                oob = bad if oob is None else (oob | bad)
+                ix_parts.append(jnp.clip(axi, 0, res[ax] - 1))
+            lin = ((ix_parts[0] * self.occ_resolution[1] + ix_parts[1])
+                   * self.occ_resolution[2] + ix_parts[2])
+            lin = lin.reshape(b, -1)
+            gt = jnp.take_along_axis(gt_flat, lin, axis=1).reshape(
                 b, n, h, w, self.num_samples)
+            gt = (gt > 0) & ~oob
             pixel_gt = jnp.concatenate(
                 [gt, ~jnp.any(gt, axis=-1, keepdims=True)], axis=-1)
 
