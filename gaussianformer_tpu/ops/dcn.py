@@ -6,25 +6,15 @@ CUDA op we compute, for each of the K*K taps, bilinearly sampled inputs at
 ``p + p_k + Δp_k`` scaled by the modulation mask, then contract with the
 kernel weights.
 
-Two implementations:
-
-- :func:`deform_conv2d` (gather path): all taps and corners flattened into
-  a single row gather from the [H*W, C] image. Exact for arbitrary
-  offsets, but XLA's TPU gather engine tops out at ~100 GB/s on v5e and
-  each stage-3 R101 block gathers ~600 MB → ~6 ms/block, ~500 ms/frame
-  across the 52 DCN blocks of the two flagship towers.
-
-- :func:`deform_conv2d_windowed` (interpolation-matrix path, default for
-  the backbone): the image is cut into overlapping WIN×WIN windows per
-  T×T output tile (dense, streaming reads — 8× fewer bytes, full HBM
-  bandwidth), and the bilinear sample + modulation of every (position,
-  tap) becomes one row of a sparse "4-hot" matrix M so that
-  ``sampled = M @ window`` runs on the MXU. Sample coordinates are
-  clamped to the window, which bounds the representable offset to
-  ±MAX_OFFSET feature pixels around the static tap position; trained
-  DCN offsets are overwhelmingly within ±4 px, so with the default
-  margin of ±10 px the clamp is inactive in practice (the gather path
-  stays available for bit-exact verification).
+This module holds the exact gather formulation, :func:`deform_conv2d`:
+all taps and corners flattened into a single row gather from the [H*W, C]
+image. Exact for arbitrary offsets, but XLA's TPU gather engine tops out
+at ~100 GB/s on v5e and each stage-3 R101 block gathers ~600 MB →
+~6 ms/block, ~500 ms/frame across the 52 DCN blocks of the two flagship
+towers. The backbone therefore defaults to the fused Pallas
+interpolation-matrix kernel (ops/pallas/dcn_kernel.py) whenever the
+shapes qualify, and uses this path as the CPU / ineligible-shape fallback
+and for bit-exact verification in tests.
 
 Offset layout matches torchvision/mmcv ModulatedDeformConv2d: the offset
 conv produces [2*K*K] channels ordered (dy_0, dx_0, dy_1, dx_1, ...) and
@@ -137,147 +127,6 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, stride: int = 1,
         (idx_all, cw_all))
     out = out.transpose(1, 0, 2, 3).reshape(b, h_pad, w_out, -1)
     out = out[:, :h_out]
-    if bias is not None:
-        out = out + bias
-    return out
-
-
-def _tiled_windows(x, num_tr, num_tc, tile: int, win: int, lead: int):
-    """Overlapping WIN×WIN windows on a T-strided tile grid.
-
-    Window for tile (i, j) covers global rows [i*T - lead, i*T - lead +
-    WIN); built with static shifted slices (WIN must be a multiple of T so
-    each window row decomposes as T*q + s).
-
-    x: [B, H, W, C] → [B, num_tr, num_tc, WIN, WIN, C].
-    """
-    b, h, w, c = x.shape
-    q_steps = win // tile
-    pad_lo = lead
-    pad_hi_r = num_tr * tile + (win - lead) - h
-    pad_hi_c = num_tc * tile + (win - lead) - w
-    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi_r), (pad_lo, pad_hi_c),
-                     (0, 0)))
-    # rows: window row (T*q + s) of tile i = xp row (i + q) * T + s
-    rows = jnp.concatenate([
-        xp[:, q * tile: (q + num_tr) * tile].reshape(
-            b, num_tr, tile, xp.shape[2], c)
-        for q in range(q_steps)], axis=2)        # [B, TIr, WIN, Wp, C]
-    cols = jnp.concatenate([
-        rows[:, :, :, q * tile: (q + num_tc) * tile].reshape(
-            b, num_tr, win, num_tc, tile, c)
-        for q in range(q_steps)], axis=4)        # [B, TIr, WIN, TIc, WIN, C]
-    return cols.transpose(0, 1, 3, 2, 4, 5)
-
-
-def deform_conv2d_windowed(x, offset, mask, weight, bias=None, *,
-                           stride: int = 1, padding: int = 1,
-                           dilation: int = 1, tile: int = 8,
-                           max_offset: int = 10):
-    """Modulated deformable conv as windowed interpolation matmuls (NHWC).
-
-    Equivalent to :func:`deform_conv2d` whenever every sampling location
-    stays within ``max_offset`` feature pixels of its static tap position
-    (sampling coordinates are clamped to the per-tile window otherwise).
-    Only the stride-1 / dilation-1 / 3x3 case is supported — in the
-    caffe-style bottlenecks of the flagship towers the DCN conv2 is always
-    stride 1 (stride lives on conv1).
-
-    x:      [B, H, W, C_in]
-    offset: [B, H, W, 2*K*K] (dy, dx per tap)
-    mask:   [B, H, W, K*K]   (already sigmoid-ed)
-    weight: [K, K, C_in, C_out]
-    """
-    k = weight.shape[0]
-    assert stride == 1 and dilation == 1 and k == 3, (
-        "windowed DCN supports the 3x3 stride-1 blocks of the R101 towers")
-    b, h, w, c_in = x.shape
-    kk = k * k
-    win = tile + 2 * max_offset + 3
-    win = -(-win // tile) * tile            # static slices need WIN % T == 0
-    lead = (win - tile) // 2                # rows before the tile start
-    num_tr = -(-h // tile)
-    num_tc = -(-w // tile)
-    nt = num_tr * num_tc
-    s_per_tile = tile * tile * kk
-    p_win = win * win
-
-    windows = _tiled_windows(x, num_tr, num_tc, tile, win, lead)
-    windows = windows.reshape(b, nt, p_win, c_in)
-
-    # ---- global float sampling coordinates per (position, tap)
-    tap = jnp.arange(k, dtype=jnp.float32) - padding
-    tap_y = jnp.repeat(tap, k)          # [kk]
-    tap_x = jnp.tile(tap, k)
-    base_y = jnp.arange(h, dtype=jnp.float32)
-    base_x = jnp.arange(w, dtype=jnp.float32)
-    off = offset.reshape(b, h, w, kk, 2)
-    sy = base_y[None, :, None, None] + tap_y + off[..., 0]   # [B, H, W, kk]
-    sx = base_x[None, None, :, None] + tap_x + off[..., 1]
-
-    # pad position grid to the tile grid
-    h_pad = num_tr * tile
-    w_pad = num_tc * tile
-
-    def pad_hw(a, fill=0.0):
-        return jnp.pad(a, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)),
-                       constant_values=fill)
-
-    # reshape to tiles: [B, TIr, T, TIc, T, kk] → [B, nt, S]
-    def to_tiles(a):
-        a = a.reshape(b, num_tr, tile, num_tc, tile, kk)
-        return a.transpose(0, 1, 3, 2, 4, 5).reshape(b, nt, s_per_tile)
-
-    sy_t = to_tiles(pad_hw(sy))
-    sx_t = to_tiles(pad_hw(sx))
-    m_t = to_tiles(pad_hw(mask.reshape(b, h, w, kk)))
-
-    # per-tile window origin; window-relative coords clamped into window
-    org_y = (jnp.repeat(jnp.arange(num_tr), num_tc) * tile - lead
-             ).astype(jnp.float32)[None, :, None]
-    org_x = (jnp.tile(jnp.arange(num_tc), num_tr) * tile - lead
-             ).astype(jnp.float32)[None, :, None]
-    rel_y = jnp.clip(sy_t - org_y, 0.0, win - 1.001)
-    rel_x = jnp.clip(sx_t - org_x, 0.0, win - 1.001)
-
-    ry0 = jnp.floor(rel_y)
-    rx0 = jnp.floor(rel_x)
-    fy = rel_y - ry0
-    fx = rel_x - rx0
-    ry0 = ry0.astype(jnp.int32)
-    rx0 = rx0.astype(jnp.int32)
-
-    # absolute integer corners for validity (reference semantics: a corner
-    # outside the image contributes zero)
-    ay0 = ry0 + org_y.astype(jnp.int32)
-    ax0 = rx0 + org_x.astype(jnp.int32)
-
-    pos_iota = jnp.arange(p_win, dtype=jnp.int32)
-    compute_dtype = x.dtype
-
-    m_acc = jnp.zeros((b, nt, s_per_tile, p_win), compute_dtype)
-    corners = ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
-               (1, 0, fy * (1 - fx)), (1, 1, fy * fx))
-    for dy, dx, cw in corners:
-        ok = ((ay0 + dy >= 0) & (ay0 + dy <= h - 1)
-              & (ax0 + dx >= 0) & (ax0 + dx <= w - 1))
-        wgt = (cw * m_t * ok).astype(compute_dtype)
-        pos = (ry0 + dy) * win + (rx0 + dx)
-        m_acc = m_acc + wgt[..., None] * (
-            pos[..., None] == pos_iota).astype(compute_dtype)
-
-    sampled = jnp.einsum("btsp,btpc->btsc", m_acc, windows,
-                         preferred_element_type=jnp.float32)
-    sampled = sampled.astype(compute_dtype)
-
-    # [B, nt, T*T*kk, C] → [B, Ho, Wo, kk*C] → weight contraction
-    sampled = sampled.reshape(b, num_tr, num_tc, tile, tile, kk * c_in)
-    sampled = sampled.transpose(0, 1, 3, 2, 4, 5).reshape(
-        b, h_pad, w_pad, kk * c_in)[:, :h, :w]
-    out = jnp.dot(sampled.reshape(b * h * w, kk * c_in),
-                  weight.reshape(kk * c_in, -1),
-                  preferred_element_type=jnp.float32)
-    out = out.reshape(b, h, w, -1)
     if bias is not None:
         out = out + bias
     return out

@@ -242,6 +242,10 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
     def _():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
+    # rows 3:8 of each goffm block are padding the unpack ignores, but
+    # they must still be written: unwritten VMEM would surface as
+    # nondeterministic garbage in the op output.
+    goffm_ref[...] = jnp.zeros_like(goffm_ref)
     gstrip_buf[...] = jnp.zeros_like(gstrip_buf)
     copy.wait()
 
@@ -439,13 +443,14 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
                          stride: int = 1, padding: int = 1,
                          dilation: int = 1, win: int = 24, tile: int = 8,
                          interpret: bool = False):
-    """DCNv2 with a Pallas forward and an XLA-recompute backward.
+    """DCNv2 with a Pallas forward and a hand-derived Pallas backward.
 
-    The backward differentiates the mathematically-identical gather path
-    (ops/dcn.deform_conv2d) — exact gradients without a hand-written
-    backward kernel (same pattern as ops/splat's Pallas VJP).
+    The backward (``deform_conv2d_pallas_bwd``) recomputes the per-tile
+    interpolation matrix and derives g_x / g_offset / g_mask / g_weight
+    with MXU matmuls; like the forward, its gradient domain is clamped to
+    the static window (corners beyond ±(win-tile-3)/2 px of their tap get
+    zero value AND zero gradient — see the module docstring).
     """
-    from ..dcn import deform_conv2d
     assert stride == 1 and dilation == 1 and padding == 1
 
     @jax.custom_vjp

@@ -54,6 +54,7 @@ class Trainer:
         self.iter_resume = iter_resume
         self.model = BEVSegmentor(**cfg.segmentor_cfg())
         self.loss_fn = build_loss(cfg)
+        self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = make_mesh() if use_mesh else None
 
@@ -144,7 +145,13 @@ class Trainer:
         (reference gaussian_head.py:133-137: k-1 uniform picks from the
         first num_decoder-1 layers, plus the last). Static tuple → one
         compiled step variant per layer subset (C(D-1, k-1) variants).
-        Returns None when the head's static selection suffices."""
+        Returns None when the head's static selection suffices.
+
+        The draw is seeded from (cfg seed, global_iter) so every data-
+        parallel process draws the SAME subset: an unseeded per-process
+        draw would make ranks compile/run different step programs around
+        the cross-process gradient collective (hang / undefined results),
+        and would not be reproducible from the config seed."""
         alt = self.cfg.apply_loss_type
         if not alt.startswith("random_"):
             return None
@@ -152,7 +159,9 @@ class Trainer:
         if k <= 1:
             return None
         d = self.cfg.num_decoder
-        extra = np.random.choice(d - 1, k - 1, replace=False)
+        rs = np.random.RandomState((self.seed * 1_000_003 + self.global_iter)
+                                   % (2 ** 31 - 1))
+        extra = rs.choice(d - 1, k - 1, replace=False)
         return tuple(sorted(extra.tolist() + [d - 1]))
 
     def load_torch_pretrained(self, backbone_path: Optional[str] = None,
