@@ -45,11 +45,26 @@ class GaussianOccEncoder(nn.Module):
         anchor = representation
         instance_feature = rep_features
 
-        # pack the multi-level camera features ONCE for all deformable ops
-        # (the reference's feature_maps_format is likewise hoisted out of
-        # the decoder loop, ops/deformable_aggregation.py:80-117)
-        from ...ops.deformable import pack_feature_maps
-        packed_feats = pack_feature_maps(ms_img_feats)
+        # Pick the deformable backend once: the fused Pallas kernel on
+        # TPU (raw per-level maps; ops/pallas/deformable_kernel.py), the
+        # chunked XLA gather elsewhere — for which the multi-level maps
+        # are packed ONCE for all deformable ops (the reference likewise
+        # hoists feature_maps_format, ops/deformable_aggregation.py:80-117)
+        import jax as _jax
+        deform_cfg = dict(self.deformable_cfg or {})
+        backend = deform_cfg.pop("backend", "auto")
+        if backend == "auto":
+            fused_ok = (len(ms_img_feats) == 4
+                        and deform_cfg.get("num_groups", 4) == 4)
+            backend = ("fused" if fused_ok
+                       and _jax.default_backend() not in ("cpu",)
+                       else "xla")
+        deform_cfg["backend"] = backend
+        if backend == "fused":
+            packed_feats = list(ms_img_feats)
+        else:
+            from ...ops.deformable import pack_feature_maps
+            packed_feats = pack_feature_maps(ms_img_feats)
 
         anchor_encoder = SparseGaussian3DEncoder(
             embed_dims=self.embed_dims,
@@ -78,7 +93,7 @@ class GaussianOccEncoder(nn.Module):
                     instance_feature, deterministic=deterministic)
             elif op == "deformable":
                 instance_feature = DeformableFeatureAggregation(
-                    **(self.deformable_cfg or {}), name=f"op{i}_deformable")(
+                    **deform_cfg, name=f"op{i}_deformable")(
                     instance_feature, anchor, anchor_embed, packed_feats,
                     projection_mat, image_wh, deterministic=deterministic)
             elif op == "spconv":

@@ -158,7 +158,12 @@ def project_points(key_points, projection_mat, image_wh):
 
 class DeformableFeatureAggregation(nn.Module):
     """Deformable multi-cam multi-scale cross-attention
-    (reference deformable_module.py:94-353)."""
+    (reference deformable_module.py:94-353).
+
+    ``backend``: "fused" runs the Pallas windowed-matmul kernel
+    (ops/pallas/deformable_kernel.py; expects ``feature_maps`` as the raw
+    per-level list), "xla" the chunked row-gather path (expects the
+    pre-packed table), "auto" picks per device in the encoder."""
     embed_dims: int = 128
     num_groups: int = 4
     num_levels: int = 4
@@ -167,6 +172,7 @@ class DeformableFeatureAggregation(nn.Module):
     attn_drop: float = 0.0
     use_camera_embed: bool = True
     residual_mode: str = "add"
+    backend: str = "xla"
     # key-points generator config
     num_learnable_pts: int = 6
     learnable_fixed_scale: float = 1.0
@@ -247,10 +253,16 @@ class DeformableFeatureAggregation(nn.Module):
         loc = jnp.transpose(points_2d, (0, 2, 3, 1, 4)).reshape(
             b, p * num_pts, self.num_cams, 2)
 
-        features = deformable_aggregation(
-            feature_maps, loc, w_soft, self.num_groups)
-        features = features.reshape(b, p, num_pts, self.embed_dims)
-        features = jnp.sum(features, axis=2)
+        if self.backend == "fused":
+            from ...ops.deformable import deformable_aggregation_fused
+            # key-point reduction is fused into the kernel → [b, p, C]
+            features = deformable_aggregation_fused(
+                feature_maps, loc, w_soft, self.num_groups, num_pts)
+        else:
+            features = deformable_aggregation(
+                feature_maps, loc, w_soft, self.num_groups)
+            features = features.reshape(b, p, num_pts, self.embed_dims)
+            features = jnp.sum(features, axis=2)
 
         output = nn.Dense(self.embed_dims, name="output_proj")(features)
         output = nn.Dropout(self.proj_drop,
@@ -280,16 +292,12 @@ class SparseConv3DModule(nn.Module):
         coords, grid_shape = voxel_indices(
             xyz, self.pc_range, self.grid_size)
 
-        # bf16 neighbor gathers on accelerators (fp32 accumulation); the
-        # 125-tap im2col gather dominates this module's cost on TPU
+        # bf16 compute on accelerators (fp32 accumulation). The dense
+        # formulation turns the 125-tap neighbor gather into MXU conv
+        # FLOPs and its backward into transposed convolutions — the
+        # gather path's backward scatter-adds cost ~470 ms/step on v5e.
         cdt = (jnp.bfloat16 if jax.default_backend() != "cpu" else None)
-
-        # neighbor voxel table is a function of the anchors only — compute
-        # once and share across the stacked conv layers
-        from ...ops.sparse_conv import neighbor_voxels
-        nb_flat = jax.vmap(
-            lambda c: neighbor_voxels(c, grid_shape, self.kernel_size)
-        )(coords)
+        from ...ops.sparse_conv import submanifold_conv3d_dense2d
 
         def conv_layer(feats, crds, name, c_in, c_out, use_bias):
             k = self.kernel_size
@@ -300,10 +308,9 @@ class SparseConv3DModule(nn.Module):
             bias = (self.param(name + "_bias", nn.initializers.zeros,
                                (c_out,)) if use_bias else None)
             return jax.vmap(
-                lambda f, c, nb: submanifold_conv3d(
-                    f, c, grid_shape, w, bias, compute_dtype=cdt,
-                    nb_flat=nb)
-            )(feats, crds, nb_flat)
+                lambda f, c: submanifold_conv3d_dense2d(
+                    f, c, grid_shape, w, bias, compute_dtype=cdt)
+            )(feats, crds)
 
         x = instance_feature
         if self.use_multi_layer:

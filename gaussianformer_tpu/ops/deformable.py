@@ -203,3 +203,305 @@ def deformable_aggregation(feature_maps,
     out = jnp.stack([one_batch(flat[bi], idx_c[bi], w2_c[bi])
                      for bi in range(b)])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas path (ops/pallas/deformable_kernel.py): anchors sorted per
+# camera by projected x so windowed MXU sampling replaces the row gather.
+# ---------------------------------------------------------------------------
+
+_BIGKEY = 1 << 20
+
+
+def _fused_chunk_geometry(num_pts: int):
+    """Pick the anchors-per-chunk so S = a_chunk * num_pts is a sublane
+    multiple (8) and stays in the MXU sweet spot."""
+    best = None
+    for a in range(1, 513):
+        s = a * num_pts
+        if s > 320:
+            break
+        if s % 8 == 0:
+            best = a
+    return best
+
+
+def _pad8(x):
+    return -(-x // 8) * 8
+
+
+def _window_widths(shapes):
+    """Window x-widths per level: narrow for the big levels (the sorted
+    chunks are x-compact), the full (tile-padded) level for the small
+    ones. All widths are sublane multiples — Mosaic requires DMA slice
+    widths aligned to the tiling."""
+    return (min(32, _pad8(shapes[0][1])), min(16, _pad8(shapes[1][1])),
+            _pad8(shapes[2][1]), _pad8(shapes[3][1]))
+
+
+def deformable_aggregation_fused(feature_maps, points_2d, weights,
+                                 num_groups: int, num_pts: int, *,
+                                 spill_budget: int = 4096,
+                                 interpret: bool = False):
+    """Fused deformable aggregation; returns ANCHOR-level features.
+
+    Args match :func:`deformable_aggregation` except ``feature_maps`` must
+    be the raw per-level list ([B, cams, H_l, W_l, C] each) and the
+    key-point dimension is reduced here (the caller's
+    ``reshape(b, p, pts, C).sum(2)`` is fused into the kernel).
+
+    Returns [B, P, C] float32, P = Q // num_pts.
+
+    Pairs whose bilinear corners escape a chunk's static window are
+    zero-weighted in the kernel and recomputed exactly by a small gather
+    (``spill_budget`` pairs; beyond that they are dropped — use
+    :func:`deformable_fused_spill_stats` to validate a config's rate).
+    """
+    from .pallas.deformable_kernel import (deformable_fused_fwd,
+                                           deformable_fused_bwd)
+    assert len(feature_maps) == 4 and num_groups == 4
+    b, cams = feature_maps[0].shape[:2]
+    c_dim = feature_maps[0].shape[-1]
+    shapes = tuple((f.shape[2], f.shape[3]) for f in feature_maps)
+    wx = _window_widths(shapes)
+    a_chunk = _fused_chunk_geometry(num_pts)
+    q = points_2d.shape[1]
+    p = q // num_pts
+    num_levels = 4
+
+    outs = []
+    for bi in range(b):
+        # pad W to a sublane multiple so full-level windows DMA cleanly
+        feats = tuple(
+            jnp.pad(f[bi], ((0, 0), (0, 0),
+                            (0, _pad8(f.shape[3]) - f.shape[3]), (0, 0))
+                    ).astype(jnp.bfloat16)
+            for f in feature_maps)
+        outs.append(_fused_single(
+            feats, points_2d[bi], weights[bi], shapes, wx, num_pts,
+            a_chunk, p, cams, c_dim, spill_budget,
+            deformable_fused_fwd, deformable_fused_bwd, interpret))
+    return jnp.stack(outs)
+
+
+def _fused_single(feats, points_2d, weights, shapes, wx, num_pts, a_chunk,
+                  p, cams, c_dim, spill_budget, fwd_fn, bwd_fn, interpret):
+    """One batch element. points_2d [Q, cams, 2]; weights
+    [Q, cams, L, G]."""
+    q = points_2d.shape[0]
+    p_pad = -(-p // a_chunk) * a_chunk
+    qp = p_pad * num_pts
+    nchunk = p_pad // a_chunk
+    s_len = a_chunk * num_pts
+
+    u = points_2d[..., 0].T                       # [cams, Q]
+    v = points_2d[..., 1].T
+    inside = ((u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0))
+    h0, w0 = shapes[0]
+    x0_l0 = jnp.floor(u * w0 - 0.5).astype(jnp.int32)
+    pair_key = jnp.where(inside, x0_l0, _BIGKEY)
+    anchor_key = pair_key.reshape(cams, p, num_pts).min(-1)
+    anchor_key = jnp.pad(anchor_key, ((0, 0), (0, p_pad - p)),
+                         constant_values=_BIGKEY)
+    order = jnp.argsort(anchor_key, axis=-1)      # [cams, p_pad]
+    pair_perm = (order[..., None] * num_pts
+                 + jnp.arange(num_pts, dtype=order.dtype)).reshape(
+        cams, qp)
+
+    def pad_pairs(x, fill):
+        widths = [(0, 0), (0, qp - q)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    def sort_pairs(x):
+        idx = pair_perm.reshape(cams, qp, *([1] * (x.ndim - 2)))
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    u_s = sort_pairs(pad_pairs(u, 2.0))           # pad u=2 → outside
+    v_s = sort_pairs(pad_pairs(v, 2.0))
+    ins_s = sort_pairs(pad_pairs(inside, False))
+    w_t = jnp.moveaxis(weights.reshape(q, cams, -1), 1, 0)  # [cams, Q, L*G]
+    w_s = sort_pairs(pad_pairs(w_t, 0.0))
+
+    # per-chunk window starts + spill detection for the windowed levels
+    spill = jnp.zeros_like(ins_s)
+    xs_cols = []
+    for l in range(2):
+        hl, wl = shapes[l]
+        x0l = jnp.floor(u_s * wl - 0.5).astype(jnp.int32)
+        keyl = jnp.where(ins_s, x0l, _BIGKEY)
+        mins = keyl.reshape(cams, nchunk, s_len).min(-1)
+        # align down to the sublane tiling: Mosaic requires the dynamic
+        # DMA start on the W dimension to be divisible by 8
+        xs = (jnp.clip(mins, 0, wl - wx[l]) // 8) * 8  # [cams, nchunk]
+        xs_b = jnp.repeat(xs, s_len, axis=1)
+        # spill when the rightmost IN-IMAGE corner escapes the window
+        # (x0+1 may be right of the image with x0 still in it)
+        spill_l = (ins_s
+                   & (jnp.minimum(x0l + 1, wl - 1) > xs_b + wx[l] - 1))
+        spill = spill | spill_l
+        xs_cols.append(xs)
+    # the reference op contributes only strictly-inside samples
+    # (deformable_aggregation_cuda.cu:166) — gate here, not in-kernel,
+    # so the same where() also routes spilled pairs to the cleanup
+    w_kernel = jnp.where((ins_s & ~spill)[..., None], w_s, 0.0)
+
+    valid_chunk = ins_s.reshape(cams, nchunk, s_len).any(-1)
+    cam_ids = jnp.broadcast_to(
+        jnp.arange(cams, dtype=jnp.int32)[:, None], (cams, nchunk))
+    starts = jnp.stack(
+        [cam_ids, valid_chunk.astype(jnp.int32),
+         xs_cols[0] // 8, xs_cols[1] // 8]
+        + [jnp.zeros_like(cam_ids)] * 4, axis=-1).reshape(
+        cams * nchunk, 8)
+
+    uvq = jnp.stack(
+        [u_s, v_s] + [jnp.zeros_like(u_s)] * 6, axis=-1).reshape(
+        cams * nchunk, s_len, 8).astype(jnp.float32)
+    wk = w_kernel.reshape(cams * nchunk, s_len, 16).astype(jnp.float32)
+
+    @jax.custom_vjp
+    def op(feats, uvq, wk):
+        return fwd_fn(feats, uvq, wk, starts, shapes=shapes, wx=wx,
+                      num_pts=num_pts, a_chunk=a_chunk,
+                      interpret=interpret)
+
+    def op_fwd(feats, uvq, wk):
+        return op(feats, uvq, wk), (feats, uvq, wk)
+
+    def op_bwd(res, g):
+        feats, uvq, wk = res
+        gf, guv, gw = bwd_fn(feats, uvq, wk, starts, g, shapes=shapes,
+                             wx=wx, num_pts=num_pts, a_chunk=a_chunk,
+                             interpret=interpret)
+        return (tuple(gf[l].astype(feats[l].dtype) for l in range(4)),
+                guv, gw)
+
+    op.defvjp(op_fwd, op_bwd)
+    out_chunks = op(feats, uvq, wk)               # [cams*nchunk, A, C]
+
+    # unsort (anchor level) + camera sum
+    out_sorted = out_chunks.reshape(cams, p_pad, c_dim)
+    inv = jnp.zeros_like(order).at[
+        jnp.arange(cams)[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(p_pad, dtype=order.dtype),
+                         (cams, p_pad)))
+    out = jnp.take_along_axis(out_sorted, inv[:, :p, None],
+                              axis=1).sum(0)      # [P, C]
+
+    # exact spill cleanup: compact spilled pairs to a static budget and
+    # recompute their contribution with the reference bilinear gather
+    out = out + _spill_cleanup(
+        feats, u_s, v_s, w_s, spill, pair_perm, shapes, num_pts, p,
+        c_dim, cams, qp, spill_budget)
+    return out
+
+
+def _spill_cleanup(feats, u_s, v_s, w_s, spill, pair_perm, shapes,
+                   num_pts, p, c_dim, cams, qp, budget):
+    """Exact contribution of window-spilled pairs, scatter-added at the
+    anchor level (bilinear math identical to the reference kernel)."""
+    g = 4
+    gd = c_dim // g
+    sp = spill.reshape(-1)
+    qtot = sp.shape[0]
+    pos = jnp.cumsum(sp) - 1
+    slot = jnp.where(sp & (pos < budget), pos, budget)
+    buf = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
+        jnp.arange(qtot, dtype=jnp.int32), mode="drop")
+    n_spill = jnp.sum(sp)
+    used = (jnp.arange(budget) < jnp.minimum(n_spill, budget))
+
+    flat_idx = buf[:budget]
+    su = u_s.reshape(-1)[flat_idx]
+    sv = v_s.reshape(-1)[flat_idx]
+    sw = w_s.reshape(-1, 16)[flat_idx]
+    cam_of = (flat_idx // qp).astype(jnp.int32)
+
+    contrib = jnp.zeros((budget, c_dim), jnp.float32)
+    for l, (hl, wl) in enumerate(shapes):
+        wp = feats[l].shape[2]                    # padded width
+        flat = feats[l].reshape(cams * hl * wp, c_dim)
+        x_im = su * wl - 0.5
+        y_im = sv * hl - 0.5
+        x0 = jnp.floor(x_im)
+        y0 = jnp.floor(y_im)
+        fx = x_im - x0
+        fy = y_im - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        sample = jnp.zeros((budget, c_dim), jnp.float32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cy = y0 + dy
+                cx = x0 + dx
+                ok = ((cy >= 0) & (cy <= hl - 1)
+                      & (cx >= 0) & (cx <= wl - 1))
+                wgt = ((fy if dy else 1.0 - fy)
+                       * (fx if dx else 1.0 - fx) * ok)
+                idx = (cam_of * (hl * wp)
+                       + jnp.clip(cy, 0, hl - 1) * wp
+                       + jnp.clip(cx, 0, wl - 1))
+                sample = sample + flat[idx].astype(jnp.float32) \
+                    * wgt[:, None]
+        wl4 = sw[:, 4 * l:4 * l + 4]              # [budget, G]
+        contrib = contrib + (sample.reshape(budget, g, gd)
+                             * wl4[:, :, None]).reshape(budget, c_dim)
+    contrib = contrib * used[:, None]
+
+    orig_pair = pair_perm.reshape(-1)[flat_idx]   # within-cam pair index
+    anchor_idx = orig_pair // num_pts
+    return jnp.zeros((p, c_dim), jnp.float32).at[anchor_idx].add(
+        contrib, mode="drop")
+
+
+def deformable_fused_spill_stats(points_2d, num_pts: int, shapes,
+                                 budget: int = 4096):
+    """Host-side spill-rate diagnostic for the fused path: fraction of
+    valid pairs whose corners escape the static windows (those are exact
+    up to ``budget``, dropped beyond it). Log this when validating a new
+    config, like ops.splat.splat_pruning_stats."""
+    import numpy as np
+    pts = np.asarray(points_2d)
+    b, q, cams, _ = pts.shape
+    p = q // num_pts
+    wx = _window_widths(shapes)
+    a_chunk = _fused_chunk_geometry(num_pts)
+    p_pad = -(-p // a_chunk) * a_chunk
+    total_spill = 0
+    total_valid = 0
+    for bi in range(b):
+        u = pts[bi, :, :, 0].T
+        v = pts[bi, :, :, 1].T
+        inside = (u > 0) & (u < 1) & (v > 0) & (v < 1)
+        h0, w0 = shapes[0]
+        key = np.where(inside, np.floor(u * w0 - 0.5).astype(np.int64),
+                       _BIGKEY)
+        akey = key.reshape(cams, p, num_pts).min(-1)
+        akey = np.pad(akey, ((0, 0), (0, p_pad - p)),
+                      constant_values=_BIGKEY)
+        order = np.argsort(akey, axis=-1, kind="stable")
+        perm = (order[..., None] * num_pts
+                + np.arange(num_pts)).reshape(cams, -1)
+        qp = p_pad * num_pts
+        u_s = np.take_along_axis(
+            np.pad(u, ((0, 0), (0, qp - q)), constant_values=2.0),
+            perm, 1)
+        ins_s = np.take_along_axis(
+            np.pad(inside, ((0, 0), (0, qp - q))), perm, 1)
+        s_len = a_chunk * num_pts
+        spill = np.zeros_like(ins_s)
+        for l in range(2):
+            hl, wl = shapes[l]
+            x0 = np.floor(u_s * wl - 0.5).astype(np.int64)
+            keyl = np.where(ins_s, x0, _BIGKEY)
+            mins = keyl.reshape(cams, -1, s_len).min(-1)
+            xs = (np.clip(mins, 0, wl - wx[l]) // 8) * 8
+            xs_b = np.repeat(xs, s_len, axis=1)
+            spill |= ins_s & (np.minimum(x0 + 1, wl - 1)
+                              > xs_b + wx[l] - 1)
+        total_spill += int(spill.sum())
+        total_valid += int(ins_s.sum())
+    return {"spilled_pairs": total_spill, "valid_pairs": total_valid,
+            "fraction": total_spill / max(total_valid, 1),
+            "budget": budget,
+            "dropped": max(0, total_spill - budget * b)}

@@ -59,7 +59,7 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
     tap = q_iota // (tile * tile)
     tap_y = (tap // 3 - 1).astype(jnp.float32)
     tap_x = (tap % 3 - 1).astype(jnp.float32)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     copy.wait()
 
@@ -84,29 +84,30 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
         y0i = y0.astype(jnp.int32)
         x0i = x0.astype(jnp.int32)
 
-        # per-corner position/weight tables, all [1, S]
-        pos_c, wgt_c = [], []
-        for dy in (0, 1):
-            for dx in (0, 1):
-                cy = y0i + dy
-                cx = x0i + dx
-                wy = fy if dy == 1 else 1.0 - fy
-                wx = fx if dx == 1 else 1.0 - fx
-                ry = cy - (start_r - lead)   # window-relative coords
-                rx = cx - (start_c - lead)
-                ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
-                      & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
-                wgt_c.append(wy * wx * mask * ok)
-                pos_c.append(jnp.clip(ry, 0, win - 1) * win
-                             + jnp.clip(rx, 0, win - 1))
-
-        # M^T: 4 corner passes; where() keeps each at compare+select+add,
-        # and f32 accumulation shares (8,128) tiling with the i1 compares
-        # (a bf16 convert per corner would pay a relayout each time)
-        m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
-        for ci in range(4):
-            m_t32 = m_t32 + jnp.where(iota_p == pos_c[ci], wgt_c[ci], 0.0)
-        m_t = m_t32.astype(strip_buf.dtype)
+        # M^T via the SEPARABLE bilinear build: the corner weight
+        # wy_dy * wx_dx factors into a row term and a column term, so
+        # M[(py, px), s] = R[py, s] * C[px, s] with R/C each a 2-corner
+        # one-hot build on a small [win, S] block. Out-of-window corners
+        # match no iota row and drop out automatically (zero weight, same
+        # semantics as the old clip + ok masking); image-bounds validity
+        # factors per axis. ~3 full-size [p_win, S] passes instead of the
+        # 12 of the old 4-corner compare-select-add (measured 2.5 ms →
+        # ~1 ms per stage-3 block on v5e).
+        ry0 = y0i - (start_r - lead)          # window-relative corner rows
+        rx0 = x0i - (start_c - lead)
+        oky0 = (y0i >= 0) & (y0i <= h - 1)
+        oky1 = (y0i >= -1) & (y0i <= h - 2)
+        okx0 = (x0i >= 0) & (x0i <= w - 1)
+        okx1 = (x0i >= -1) & (x0i <= w - 2)
+        # (the product must stay f32 until after the [win, win, S] →
+        # [p_win, S] merge: bf16 tiling needs sublane multiples of 16 and
+        # Mosaic rejects the shape cast at win=24)
+        r_fac = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
+                 + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0)) * mask
+        c_fac = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
+                 + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
+        m_t = (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
+            p_win, s_total).astype(strip_buf.dtype)
 
         win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
 
@@ -234,7 +235,7 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
     tap = q_iota // (tile * tile)
     tap_y = (tap // 3 - 1).astype(jnp.float32)
     tap_x = (tap % 3 - 1).astype(jnp.float32)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     first = (b == 0) & (i == 0)
 
@@ -265,26 +266,20 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
         y0i = y0.astype(jnp.int32)
         x0i = x0.astype(jnp.int32)
 
-        corners = []
-        for dy in (0, 1):
-            for dx in (0, 1):
-                cy = y0i + dy
-                cx = x0i + dx
-                wy = fy if dy == 1 else 1.0 - fy
-                wx = fx if dx == 1 else 1.0 - fx
-                ry = cy - (start_r - lead)
-                rx = cx - (start_c - lead)
-                ok = ((cy >= 0) & (cy <= h - 1) & (cx >= 0) & (cx <= w - 1)
-                      & (ry >= 0) & (ry < win) & (rx >= 0) & (rx < win))
-                pos = (jnp.clip(ry, 0, win - 1) * win
-                       + jnp.clip(rx, 0, win - 1))
-                corners.append((dy, dx, wy, wx, ok, pos))
-
-        m_t32 = jnp.zeros((p_win, s_total), jnp.float32)
-        for (_, _, wy, wx, ok, pos) in corners:
-            m_t32 = m_t32 + jnp.where(iota_p == pos, wy * wx * mask * ok,
-                                      0.0)
-        m_t = m_t32.astype(strip_buf.dtype)
+        # separable M build (see _kernel): r_t/c_t are the mask-free
+        # row/col factors, reused below for the offset/mask chain rule
+        ry0 = y0i - (start_r - lead)
+        rx0 = x0i - (start_c - lead)
+        oky0 = (y0i >= 0) & (y0i <= h - 1)
+        oky1 = (y0i >= -1) & (y0i <= h - 2)
+        okx0 = (x0i >= 0) & (x0i <= w - 1)
+        okx1 = (x0i >= -1) & (x0i <= w - 2)
+        r_t = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
+               + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0))
+        c_t = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
+               + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
+        m_t = ((r_t * mask)[:, None, :] * c_t[None, :, :]).reshape(
+            p_win, s_total).astype(strip_buf.dtype)
 
         win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
         acc = jax.lax.dot_general(
@@ -318,16 +313,23 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
         gstrip_buf[:, sl, :] = (gstrip_buf[:, sl, :]
                                 + g_win.reshape(win, win, c_in))
 
-        # per-corner extraction + bilinear chain rule on [1, S] rows
-        g_mask = jnp.zeros((1, s_total), jnp.float32)
-        g_sy = jnp.zeros((1, s_total), jnp.float32)
-        g_sx = jnp.zeros((1, s_total), jnp.float32)
-        for (dy, dx, wy, wx, ok, pos) in corners:
-            gv = jnp.sum(jnp.where(iota_p == pos, g_m, 0.0), axis=0,
-                         keepdims=True) * ok
-            g_mask = g_mask + gv * wy * wx
-            g_sy = g_sy + gv * (1.0 if dy == 1 else -1.0) * wx * mask
-            g_sx = g_sx + gv * wy * (1.0 if dx == 1 else -1.0) * mask
+        # offset/mask chain rule through the separable factorization:
+        # M = mask * (R ⊗ C) gives
+        #   g_mask = Σ_py R[py] E[py],    E[py, s] = Σ_px g_M[(py,px), s] C[px, s]
+        #   g_sy   = mask Σ_py R'[py] E[py]   (R' = dR/dsy: ∓ok one-hots)
+        #   g_sx   = mask Σ_px C'[px] F[px],  F[px, s] = Σ_py g_M R[py, s]
+        # — two full-size multiply-reduces instead of four per-corner
+        # compare-select-reduce passes.
+        g_m3 = g_m.reshape(win, win, s_total)
+        e_r = jnp.sum(g_m3 * c_t[None, :, :], axis=1)     # [win, S]
+        f_c = jnp.sum(g_m3 * r_t[:, None, :], axis=0)     # [win, S]
+        dr = (jnp.where(iota_w == ry0 + 1, 1.0 * oky1, 0.0)
+              - jnp.where(iota_w == ry0, 1.0 * oky0, 0.0))
+        dc = (jnp.where(iota_w == rx0 + 1, 1.0 * okx1, 0.0)
+              - jnp.where(iota_w == rx0, 1.0 * okx0, 0.0))
+        g_mask = jnp.sum(r_t * e_r, axis=0, keepdims=True)
+        g_sy = mask * jnp.sum(dr * e_r, axis=0, keepdims=True)
+        g_sx = mask * jnp.sum(dc * f_c, axis=0, keepdims=True)
 
         goffm_ref[0, j, 0:1, :] = g_sy
         goffm_ref[0, j, 1:2, :] = g_sx

@@ -119,3 +119,81 @@ def submanifold_conv3d(features, coords, grid_shape, weights, bias=None,
     if bias is not None:
         out = out + bias
     return out
+
+
+def submanifold_conv3d_dense(features, coords, grid_shape, weights,
+                             bias=None, compute_dtype=None):
+    """Submanifold conv via a DENSE 3D convolution on the voxel grid.
+
+    Mathematically identical to :func:`submanifold_conv3d` (scatter
+    anchor features to the static grid — last-writer-wins on collisions,
+    like spconv's coordinate hash — then read the conv output back at the
+    input sites; zeros elsewhere contribute nothing to the sums). On TPU
+    this is the faster formulation whenever the dense grid is modest
+    (100x100x8 for every shipped config): the K^3-tap neighbor gather
+    (~205 MB/layer) becomes MXU conv FLOPs, and — decisively for
+    training — the backward becomes transposed convolutions instead of
+    XLA scatter-adds of 800k gathered rows.
+    """
+    p, c_in = features.shape
+    k = weights.shape[0]
+    c_out = weights.shape[-1]
+    X, Y, Z = grid_shape
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+
+    flat = (coords[:, 0] * Y + coords[:, 1]) * Z + coords[:, 2]
+    dense = jnp.zeros((X * Y * Z, c_in), features.dtype).at[flat].set(
+        features)
+    vol = dense.reshape(1, X, Y, Z, c_in)
+    # keep operand/output dtypes uniform: a preferred_element_type
+    # differing from a low-precision compute dtype breaks the conv
+    # transpose rule (f32 cotangent vs bf16 kernel); TPU accumulates
+    # bf16 convs in f32 internally regardless
+    out = jax.lax.conv_general_dilated(
+        vol, weights, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+    out = out.reshape(X * Y * Z, c_out)[flat].astype(jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
+                               bias=None, compute_dtype=None):
+    """Dense formulation via BATCHED 2D convolutions.
+
+    Same math as :func:`submanifold_conv3d_dense`, but the 3D conv is
+    decomposed into k z-shifted 2D convs with the z-planes as the batch
+    dimension — XLA lowers 5x5 2D convs near MXU peak while its direct
+    3D conv lowering runs at ~13% utilization on v5e (measured 11 ms vs
+    ~2 ms for the identical FLOPs at the 100x100x8 flagship grid).
+    """
+    p, c_in = features.shape
+    k = weights.shape[0]
+    r = (k - 1) // 2
+    c_out = weights.shape[-1]
+    X, Y, Z = grid_shape
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+
+    flat = (coords[:, 0] * Y + coords[:, 1]) * Z + coords[:, 2]
+    dense = jnp.zeros((X * Y * Z, c_in), features.dtype).at[flat].set(
+        features)
+    # [X, Y, Z, C] → z-planes as batch [Z, X, Y, C]
+    vol = jnp.transpose(dense.reshape(X, Y, Z, c_in), (2, 0, 1, 3))
+    volp = jnp.pad(vol, ((r, r), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for kz in range(k):
+        o = jax.lax.conv_general_dilated(
+            jax.lax.dynamic_slice_in_dim(volp, kz, Z, axis=0),
+            weights[:, :, kz], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = o if out is None else out + o
+    out = jnp.transpose(out, (1, 2, 0, 3)).reshape(X * Y * Z, c_out)
+    out = out[flat].astype(jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -622,11 +622,13 @@ def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
 
 def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
                   grid, *, variant, per_axis_radii, tile_n, chunk_g,
-                  interpret):
-    """Pallas forward with the hand-derived backward (splat_backward):
-    the forward's normalizers (prob_sum, one_minus, logits) are saved so
-    the backward is one streaming pass — no full forward recompute under
-    autodiff (mirrors localagg_prob/src/backward.cu:23-123)."""
+                  interpret, pallas_bwd: bool = True):
+    """Pallas forward with a hand-derived backward: the forward's
+    normalizers (prob_sum, one_minus, logits) are saved so the backward
+    is one streaming pass — no full forward recompute under autodiff
+    (mirrors localagg_prob/src/backward.cu:23-123). The backward runs the
+    Pallas kernel (ops/pallas/splat_bwd_kernel.py) by default, or the XLA
+    chunk-scan (splat_backward) with ``pallas_bwd=False``."""
 
     @jax.custom_vjp
     def f(means, opacities, semantics, cov_inv6):
@@ -650,6 +652,11 @@ def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
 
     def f_bwd(res, g):
         means, opacities, semantics, cov_inv6, residuals = res
+        if pallas_bwd:
+            return _splat_bwd_pallas_batched(
+                points, means, opacities, semantics, scales, cov_inv6,
+                grid, residuals, g, variant=variant,
+                per_axis_radii=per_axis_radii, interpret=interpret)
         return splat_backward(
             points, means, opacities, semantics, scales, cov_inv6, grid,
             residuals, g, variant=variant, per_axis_radii=per_axis_radii)
@@ -738,3 +745,83 @@ def splat_dense_reference(points, means, opacities, semantics, scales,
     logits = jnp.where(covered[..., None], sem_acc / denom[..., None],
                        uniform[None, None, :])
     return logits, bin_logits, density
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward (ops/pallas/splat_bwd_kernel.py): streamed point tiles,
+# AABB-pruned blocks, in-kernel moment finalization.
+# ---------------------------------------------------------------------------
+
+def _splat_bwd_pallas_batched(points, means, opacities, semantics, scales,
+                              cov_inv6, grid: SplatGridSpec, residuals,
+                              cotangents, *, variant: str,
+                              per_axis_radii: bool, tile_n: int = 2048,
+                              chunk_g: int = 512, interpret: bool = False):
+    """Hand-derived VJP on the Pallas backward kernel. Same contract as
+    :func:`splat_backward` (returns grads for means/opacities/semantics/
+    cov_inv6); Gaussians are Morton-sorted for chunk compactness and the
+    per-Gaussian grads unsorted on the way out."""
+    from .pallas.splat_bwd_kernel import splat_bwd_raw_pallas
+    points = jax.lax.stop_gradient(points)
+    points_int = grid.voxelize(points)
+    means_int = grid.voxelize(jax.lax.stop_gradient(means))
+    radii = grid.radii(scales, per_axis=per_axis_radii)
+    prob = variant == "prob"
+
+    if prob:
+        logits, prob_sum, one_minus = residuals
+        g_logits, g_bin, g_density = cotangents
+    else:
+        (g_logits,) = cotangents
+
+    outs = []
+    for bi in range(points.shape[0]):
+        mu_i = means[bi]
+        mint_i = means_int[bi]
+        order = jnp.argsort(_morton2(mint_i[:, 0], mint_i[:, 1]))
+        mu = mu_i[order]
+        mint = mint_i[order]
+        rad = radii[bi][order]
+        opa = opacities[bi][order]
+        sem = semantics[bi][order]
+        cov6 = cov_inv6[bi][order]
+
+        if prob:
+            det = det_compact(cov6)
+            w_g = _NORM_3D * jnp.sqrt(jnp.maximum(det, 1e-30)) * opa
+        else:
+            w_g = opa
+        p = mu.shape[0]
+        gdata = jnp.concatenate(
+            [mu, cov6, opa[:, None], w_g[:, None],
+             jnp.zeros((p, 5), jnp.float32)], axis=-1)
+        box = jnp.concatenate(
+            [mint, rad, jnp.zeros((p, 2), jnp.int32)],
+            axis=-1).astype(jnp.int32)
+        pts4 = jnp.concatenate(
+            [points[bi], jnp.zeros_like(points[bi, :, :1])], axis=-1)
+        pint4 = jnp.concatenate(
+            [points_int[bi], jnp.zeros_like(points_int[bi, :, :1])],
+            axis=-1)
+
+        if prob:
+            covered = prob_sum[bi] > 1e-9
+            inv_ps = jnp.where(covered,
+                               1.0 / jnp.where(covered, prob_sum[bi], 1.0),
+                               0.0)
+            gl = g_logits[bi] * inv_ps[:, None]
+            dot_gl = jnp.sum(gl * logits[bi], axis=-1)
+            bin_term = g_bin[bi] * one_minus[bi]
+            scalars = jnp.stack(
+                [dot_gl, bin_term, g_density[bi],
+                 jnp.zeros_like(dot_gl)], axis=-1)
+        else:
+            gl = g_logits[bi]
+            scalars = jnp.zeros((points.shape[1], 4), jnp.float32)
+
+        gmu_s, gopa_s, gcov_s, gsem_s = splat_bwd_raw_pallas(
+            pts4, pint4, gdata, box, sem, gl, scalars, variant=variant,
+            tile_n=tile_n, chunk_g=chunk_g, interpret=interpret)
+        inv = jnp.argsort(order)
+        outs.append((gmu_s[inv], gopa_s[inv], gsem_s[inv], gcov_s[inv]))
+    return tuple(jnp.stack([o[k] for o in outs]) for k in range(4))

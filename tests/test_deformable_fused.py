@@ -1,0 +1,95 @@
+"""Fused Pallas deformable aggregation vs the XLA gather reference.
+
+The XLA path (ops/deformable.deformable_aggregation) is itself
+golden-tested against the reference CUDA math
+(tests/test_golden_parity.py), so matching it end-to-end — forward and
+gradients, including out-of-view points and window-spilled pairs —
+carries the parity chain to the fused kernel.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianformer_tpu.ops.deformable import (
+    deformable_aggregation, deformable_aggregation_fused,
+    deformable_fused_spill_stats)
+
+SHAPES = ((12, 48), (6, 24), (3, 12), (2, 6))
+CAMS = 2
+C = 32
+G = 4
+NUM_PTS = 3
+P = 24
+Q = P * NUM_PTS
+B = 1
+
+
+def _make_inputs(seed=0, wild=False):
+    rng = np.random.RandomState(seed)
+    feats = [jnp.asarray(rng.randn(B, CAMS, h, w, C), jnp.float32)
+             for (h, w) in SHAPES]
+    # locations: mostly inside, some outside / near edges; "wild" spreads
+    # points over the full image so chunks spill the 32-wide l0 window
+    if wild:
+        loc = rng.uniform(-0.1, 1.1, size=(B, Q, CAMS, 2))
+    else:
+        loc = rng.uniform(0.05, 0.45, size=(B, Q, CAMS, 2))
+        loc[:, Q // 2:] += 0.4    # second half far from first → spill
+    loc = jnp.asarray(loc, jnp.float32)
+    w = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, Q, CAMS, 4, G), jnp.float32), axis=-2)
+    return feats, loc, w
+
+
+def _anchor_ref(feats, loc, w):
+    """Reference: XLA path + key-point reduction."""
+    out = deformable_aggregation(feats, loc, w, G)
+    return out.reshape(B, P, NUM_PTS, C).sum(axis=2)
+
+
+@pytest.mark.parametrize("wild", [False, True])
+def test_fused_forward_matches_xla(wild):
+    feats, loc, w = _make_inputs(wild=wild)
+    ref = _anchor_ref(feats, loc, w)
+    got = deformable_aggregation_fused(feats, loc, w, G, NUM_PTS,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_spill_exactness():
+    """Points forced to spill must still be exact (cleanup path)."""
+    feats, loc, w = _make_inputs(seed=3, wild=True)
+    stats = deformable_fused_spill_stats(np.asarray(loc), NUM_PTS, SHAPES)
+    assert stats["spilled_pairs"] > 0, "test should exercise spill"
+    assert stats["dropped"] == 0
+    ref = _anchor_ref(feats, loc, w)
+    got = deformable_aggregation_fused(feats, loc, w, G, NUM_PTS,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_grads_match_xla():
+    feats, loc, w = _make_inputs(seed=1)
+    cot = jnp.asarray(np.random.RandomState(9).randn(B, P, C), jnp.float32)
+
+    def loss_ref(feats, loc, w):
+        return jnp.sum(_anchor_ref(feats, loc, w) * cot)
+
+    def loss_fused(feats, loc, w):
+        return jnp.sum(deformable_aggregation_fused(
+            feats, loc, w, G, NUM_PTS, interpret=True) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(feats, loc, w)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(feats, loc, w)
+
+    for l in range(4):
+        np.testing.assert_allclose(np.asarray(g_fus[0][l]),
+                                   np.asarray(g_ref[0][l]),
+                                   rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(g_fus[1]), np.asarray(g_ref[1]),
+                               rtol=5e-2, atol=5e-1)
+    np.testing.assert_allclose(np.asarray(g_fus[2]), np.asarray(g_ref[2]),
+                               rtol=5e-2, atol=5e-2)
