@@ -81,6 +81,14 @@ class DeformConv2d(nn.Module):
             (k, k, x.shape[-1], self.features))
 
         win = 24
+        # Observability for the Pallas kernel's static window: samples
+        # beyond ±(win - tile - 3)/2 px of their tap are dropped (value
+        # AND gradient). Sown so a forward with
+        # mutable=["intermediates"] (utils.check_dcn_offset_margin) can
+        # verify a converted checkpoint / a training run stays inside
+        # the representable window.
+        self.sow("intermediates", "dcn_offset_max",
+                 jnp.max(jnp.abs(offset.astype(jnp.float32))))
         use_pallas = (
             self.backend in ("auto", "pallas")
             and (jax.default_backend() != "cpu" or self.backend == "pallas")

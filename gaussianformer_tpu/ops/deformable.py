@@ -316,9 +316,15 @@ def _fused_single(feats, points_2d, weights, shapes, wx, num_pts, a_chunk,
         idx = pair_perm.reshape(cams, qp, *([1] * (x.ndim - 2)))
         return jnp.take_along_axis(x, idx, axis=1)
 
-    u_s = sort_pairs(pad_pairs(u, 2.0))           # pad u=2 → outside
-    v_s = sort_pairs(pad_pairs(v, 2.0))
-    ins_s = sort_pairs(pad_pairs(inside, False))
+    # ONE packed row gather for the per-pair scalars (u, v, inside):
+    # separate 1-D scalar gathers are descriptor-bound on TPU
+    uvm = jnp.stack([u, v, inside.astype(u.dtype),
+                     jnp.zeros_like(u)], axis=-1)
+    uvm_s = sort_pairs(pad_pairs(uvm, 0.0))       # pad u=0 → outside,
+                                                  # inside-flag col = 0
+    u_s = uvm_s[..., 0]
+    v_s = uvm_s[..., 1]
+    ins_s = uvm_s[..., 2] > 0.5
     w_t = jnp.moveaxis(weights.reshape(q, cams, -1), 1, 0)  # [cams, Q, L*G]
     w_s = sort_pairs(pad_pairs(w_t, 0.0))
 

@@ -123,6 +123,28 @@ def _pad_rows(x, rows, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+#: VMEM the resident tables may use (v5e/v5p have 128 MiB/core; leave
+#: room for the per-tile blocks, accumulators, and compiler spills).
+VMEM_TABLE_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _check_vmem_budget(p_pad: int, c_aug: int, tile_n: int, chunk_g: int):
+    """The whole Gaussian table lives in VMEM; fail loudly (naming the
+    knobs) instead of letting Mosaic die with an opaque allocation error
+    when a config outgrows the budget."""
+    table = p_pad * (16 * 4 + 8 * 4 + c_aug * 4)     # gdata+box+sem_aug
+    blocks = tile_n * (4 + 4 + c_aug + 1) * 4 * 2    # in/out double-buffer
+    total = table + blocks
+    if total > VMEM_TABLE_BUDGET_BYTES:
+        raise ValueError(
+            f"splat_raw_pallas: resident tables need {total / 2**20:.0f}"
+            f" MiB VMEM for {p_pad} Gaussians x {c_aug} channels, over the"
+            f" {VMEM_TABLE_BUDGET_BYTES / 2**20:.0f} MiB budget. Shard the"
+            " Gaussians across devices, reduce num_anchor, or use the XLA"
+            " backend (ops.splat.splat(..., backend='xla')), which streams"
+            " chunks through HBM.")
+
+
 def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
                      chunk_g: int = 512, needs_om: bool = True,
                      interpret: bool = False, prune: bool = True):
@@ -142,6 +164,7 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     p_pad = -(-p // chunk_g) * chunk_g
     num_tiles = n_pad // tile_n
     num_chunks = p_pad // chunk_g
+    _check_vmem_budget(p_pad, sem_aug.shape[1], tile_n, chunk_g)
 
     pts = _pad_rows(pts, n_pad)
     pts_int = _pad_rows(pts_int, n_pad, value=-(10 ** 6))

@@ -1,1 +1,2 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (make_mesh, shard_batch, shard_global_batch,
+                   replicate)

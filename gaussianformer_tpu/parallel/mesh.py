@@ -39,3 +39,22 @@ def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_global_batch(mesh: Mesh, batch):
+    """Assemble the GLOBAL data-sharded batch from this process's
+    host-local batch.
+
+    Single-process (one host driving the whole mesh): a plain device_put
+    to the data-sharded layout. Multi-process (one host per device
+    group, the reference's DDP per-rank batches, train.py:185-232): each
+    process contributes its local arrays as its shard of the global
+    batch via ``host_local_array_to_global_array`` — a direct
+    ``device_put`` of host-local data to a global sharding is invalid
+    there.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        batch, mesh, P("data"))

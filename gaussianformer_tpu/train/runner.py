@@ -19,7 +19,8 @@ import numpy as np
 from ..configs.nuscenes import GaussianFormerConfig
 from ..metrics.mean_iou import MeanIoU
 from ..models.segmentor import BEVSegmentor
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (make_mesh, replicate, shard_batch,
+                             shard_global_batch)
 from ..utils.checkpoint import (latest_checkpoint, load_checkpoint,
                                 save_checkpoint)
 from .optim import build_optimizer
@@ -263,7 +264,7 @@ class Trainer:
             for i, batch in enumerate(self.train_loader):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
+                    batch = shard_global_batch(self.mesh, batch)
                 data_time = time.time() - t_data
                 self.rng, step_rng = jax.random.split(self.rng)
                 self._state, metrics = self._train_step(

@@ -107,3 +107,198 @@ def test_two_process_dp_smoke(tmp_path):
     m, occ, _ = ref.result()
     assert abs(results[0]["miou"] - m) < 1e-9
     assert abs(results[0]["occ"] - occ) < 1e-9
+
+
+TRAIN_WORKER = r"""
+import os, sys, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+import time as _t
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+from jax._src import distributed as _dist
+from gaussianformer_tpu.parallel.distributed import init_distributed
+from gaussianformer_tpu.parallel.mesh import make_mesh, shard_global_batch
+from gaussianformer_tpu.train.optim import build_optimizer
+from gaussianformer_tpu.train.train_state import create_train_state
+from gaussianformer_tpu.train.step import build_loss
+from __graft_entry__ import _flagship_model_and_batch
+
+proc_id, num_procs = init_distributed()
+assert num_procs == 2
+
+
+def _log(msg):
+    print(f"[w{proc_id} {_t.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
+# SERIALIZE all of worker 1's compiles behind worker 0's (the persistent
+# cache turns them into fast loads): two concurrent full-model compiles
+# thrash the single CPU core past every coordination timeout. No
+# collective runs before the 'compiled' barrier — the AOT compile uses
+# abstract global shapes.
+sentinel = os.environ["COMPILE_SENTINEL"]
+if proc_id == 1:
+    for _ in range(1500):
+        if os.path.exists(sentinel):
+            break
+        _t.sleep(1)
+
+model, batch, cfg = _flagship_model_and_batch(small=True, batch=2)
+local = {k: v[proc_id:proc_id + 1] for k, v in batch.items()}
+mesh = make_mesh(num_data=2, num_model=1)
+rng = jax.random.PRNGKey(0)
+
+_log("init start")
+variables = jax.jit(model.init, static_argnames=("training",))(
+    {"params": rng, "dropout": rng},
+    local["imgs"], local["projection_mat"], local["image_wh"],
+    occ_xyz=local["occ_xyz"], occ_label=local["occ_label"],
+    occ_cam_mask=local["occ_cam_mask"], training=True, rng=rng)
+loss_fn = build_loss(cfg)
+tx, _ = build_optimizer(variables["params"], cfg.optim.lr, 1000,
+                        backbone_lr_mult=cfg.optim.backbone_lr_mult,
+                        grad_max_norm=cfg.optim.grad_max_norm)
+state = create_train_state(variables, tx)
+_log("state ready")
+
+
+def train_step(state, batch, rng):
+    def compute_loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["imgs"], batch["projection_mat"], batch["image_wh"],
+            occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
+            occ_cam_mask=batch["occ_cam_mask"], training=True, rng=rng,
+            rngs={"dropout": jax.random.fold_in(rng, 1)})
+        return loss_fn(out)
+    (loss, logs), grads = jax.value_and_grad(
+        compute_loss, has_aux=True)(state.params)
+    return state.apply_gradients(grads), loss
+
+
+losses = []
+with mesh:
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    abs_state = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
+                                       sharding=rep), state)
+    abs_batch = {k: jax.ShapeDtypeStruct(
+        v.shape, v.dtype, sharding=dat) for k, v in batch.items()}
+    _log("compile start")
+    compiled = jax.jit(train_step).lower(
+        abs_state, abs_batch,
+        jax.ShapeDtypeStruct((2,), jnp.uint32)).compile()
+    _log("compile done")
+    if proc_id == 0:
+        open(sentinel, "w").write("done")
+    _dist.global_state.client.wait_at_barrier("compiled", 1_000_000)
+    _log("past compiled barrier")
+
+    # materialize the global (replicated / data-sharded) arrays — these
+    # are collectives, now aligned across both workers
+    gstate = multihost_utils.host_local_array_to_global_array(
+        state, mesh, P())
+    _log("global state built")
+    for step in range(2):
+        gbatch = shard_global_batch(mesh, local)
+        key = multihost_utils.host_local_array_to_global_array(
+            jax.random.PRNGKey(step), mesh, P())
+        gstate, loss = compiled(gstate, gbatch, key)
+        losses.append(float(jax.device_get(loss)))
+    _log("steps done")
+
+print(json.dumps({"proc": proc_id, "losses": losses}), flush=True)
+_dist.global_state.client.wait_at_barrier("done", 1_000_000)
+"""
+
+
+@pytest.mark.timeout(1200)
+def test_two_process_trainer_feed(tmp_path):
+    """Two Trainer-style DP steps across 2 processes (host-local batches
+    assembled into the global array via shard_global_batch) must produce
+    the same losses as the single-process 2-device run on the
+    concatenated batch — the reference's DDP semantics (per-rank batches
+    + implicit gradient all-reduce, train.py:185-232)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {**os.environ,
+           "COORDINATOR_ADDRESS": f"localhost:{port}",
+           "NUM_PROCESSES": "2",
+           "JAX_PLATFORMS": "cpu",
+           "COMPILE_SENTINEL": str(tmp_path / "compile_done"),
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env, "PROCESS_ID": str(pid)},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=850)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        import json
+        rec = json.loads(out.strip().splitlines()[-1])
+        results[rec["proc"]] = rec
+    assert results[0]["losses"] == results[1]["losses"]
+
+    # single-process reference over the concatenated batch
+    import jax
+    import jax.numpy as jnp
+    from gaussianformer_tpu.parallel.mesh import (make_mesh, replicate,
+                                                  shard_global_batch)
+    from gaussianformer_tpu.train.optim import build_optimizer
+    from gaussianformer_tpu.train.train_state import create_train_state
+    from gaussianformer_tpu.train.step import build_loss
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model_and_batch
+
+    model, batch, cfg = _flagship_model_and_batch(small=True, batch=2)
+    mesh = make_mesh(num_data=2, num_model=1,
+                     devices=jax.devices()[:2])
+    rng = jax.random.PRNGKey(0)
+    local1 = {k: v[:1] for k, v in batch.items()}
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        {"params": rng, "dropout": rng},
+        local1["imgs"], local1["projection_mat"], local1["image_wh"],
+        occ_xyz=local1["occ_xyz"], occ_label=local1["occ_label"],
+        occ_cam_mask=local1["occ_cam_mask"], training=True, rng=rng)
+    loss_fn = build_loss(cfg)
+    tx, _ = build_optimizer(variables["params"], cfg.optim.lr, 1000,
+                            backbone_lr_mult=cfg.optim.backbone_lr_mult,
+                            grad_max_norm=cfg.optim.grad_max_norm)
+    state = replicate(mesh, create_train_state(variables, tx))
+
+    def train_step(state, batch, rng):
+        def compute_loss(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"], batch["projection_mat"], batch["image_wh"],
+                occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
+                occ_cam_mask=batch["occ_cam_mask"], training=True,
+                rng=rng, rngs={"dropout": jax.random.fold_in(rng, 1)})
+            return loss_fn(out)
+        (loss, logs), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    ref_losses = []
+    with mesh:
+        jitted = jax.jit(train_step)
+        for step in range(2):
+            gbatch = shard_global_batch(mesh, batch)
+            state, loss = jitted(state, gbatch, jax.random.PRNGKey(step))
+            ref_losses.append(float(jax.device_get(loss)))
+
+    for a, b in zip(results[0]["losses"], ref_losses):
+        assert abs(a - b) < 2e-4, (results[0]["losses"], ref_losses)

@@ -258,3 +258,68 @@ class TestPallasDCN:
         wgt = jax.random.normal(ks[1], (3, 3, c, 4)) * 0.1
         out = deform_conv2d_pallas_fwd(x, off, mask, wgt, interpret=True)
         assert jnp.max(jnp.abs(out)) == 0.0
+
+
+def test_dcn_offset_margin_check():
+    """The sown per-block offset maxima surface through
+    utils.check_dcn_offset_margin and flag out-of-window offsets."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from gaussianformer_tpu.configs import get_config
+    from gaussianformer_tpu.models import BEVSegmentor
+    from gaussianformer_tpu.ops.splat import SplatGridSpec
+    from gaussianformer_tpu.utils import check_dcn_offset_margin
+    from gaussianformer_tpu.data.synthetic import SyntheticOccDataset
+
+    cfg = dataclasses.replace(
+        get_config("prob_gs6400"), embed_dims=32, num_decoder=1,
+        num_anchor=32, random_samples=16, num_depth_samples=8,
+        num_learnable_pts=2)
+    seg = cfg.segmentor_cfg()
+    seg["backbone_cfg"].update(depth=50, base_channels=8, with_cp=False,
+                               stage_with_dcn=(False, False, True, True))
+    seg["lifter_cfg"].update(num_samples=8, occ_resolution=(20, 20, 8),
+                             voxel_size=5.0, initializer_depth=18,
+                             initializer_dcn=(False,) * 4,
+                             initializer_base_channels=8,
+                             initializer_out_channels=(8, 8, 8, 8))
+    seg["head_cfg"]["grid"] = SplatGridSpec(
+        H=20, W=20, D=8, pc_min=(-50.0, -50.0, -5.0), grid_size=5.0,
+        scale_multiplier=4.0)
+    seg["head_cfg"].update(splat_tile_n=320, splat_chunk_g=16)
+    model = BEVSegmentor(**seg)
+
+    ds = SyntheticOccDataset(num_samples=1, image_size=(64, 96),
+                             grid=(20, 20, 8))
+    s = ds[0]
+    batch = {k: jnp.asarray(v)[None] for k, v in s.items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, batch["imgs"],
+        batch["projection_mat"], batch["image_wh"],
+        occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
+        occ_cam_mask=batch["occ_cam_mask"], training=False, rng=rng)
+
+    # zero-init offset convs → max offset 0, inside any margin
+    rep = check_dcn_offset_margin(model, variables, batch)
+    assert rep["per_block"], "no DCN blocks sown"
+    assert rep["ok"] and rep["max_offset"] == 0.0
+
+    # inject a large bias into one offset conv → flagged
+    import flax
+    params = flax.core.unfreeze(variables["params"])
+
+    def bump(tree):
+        for k, v in tree.items():
+            if k == "conv_offset":
+                v["bias"] = v["bias"] + 10.0
+                return True
+            if isinstance(v, dict) and bump(v):
+                return True
+        return False
+
+    assert bump(params)
+    rep2 = check_dcn_offset_margin(
+        model, {**variables, "params": params}, batch)
+    assert not rep2["ok"] and rep2["max_offset"] > rep2["margin"]

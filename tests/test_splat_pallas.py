@@ -38,3 +38,20 @@ def test_pallas_gradients_match_xla():
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_splat_pallas_vmem_budget_error():
+    """An over-budget Gaussian table fails with the friendly error naming
+    the knobs, not a Mosaic allocation crash."""
+    import jax.numpy as jnp
+    import pytest
+    from gaussianformer_tpu.ops.pallas import splat_kernel
+
+    p = (splat_kernel.VMEM_TABLE_BUDGET_BYTES
+         // (16 * 4 + 8 * 4 + 20 * 4)) + 512
+    pts = jnp.zeros((256, 4))
+    pint = jnp.zeros((256, 4), jnp.int32)
+    with pytest.raises(ValueError, match="num_anchor|XLA backend"):
+        splat_kernel.splat_raw_pallas(
+            pts, pint, jnp.zeros((p, 16)), jnp.zeros((p, 8), jnp.int32),
+            jnp.zeros((p, 20)), interpret=True)
