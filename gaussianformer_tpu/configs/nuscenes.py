@@ -99,6 +99,10 @@ class GaussianFormerConfig:
     ffn_in_channels: Optional[int] = None
     deformable_residual_mode: str = "none"
     attn_drop: float = 0.15
+    # deformable backend: "auto" (fused Pallas kernel on TPU, XLA gather
+    # elsewhere), "fused", or "xla"
+    deformable_backend: str = "auto"
+
     ffn_drop: float = 0.1
     # head
     apply_loss_type: str = "random_1"
@@ -206,6 +210,7 @@ class GaussianFormerConfig:
                 num_levels=4,
                 num_cams=self.data.num_cams,
                 attn_drop=self.attn_drop,
+                backend=self.deformable_backend,
                 use_camera_embed=True,
                 residual_mode=self.deformable_residual_mode,
                 num_learnable_pts=self.num_learnable_pts,

@@ -110,7 +110,7 @@ def _fwd_kernel(starts_ref, uvq_ref, w_ref,
                 gexp_ref, red_ref,
                 out_ref,
                 win0, win1, win2, win3, sems,
-                *, shapes, wx, s, c_dim, cpc):
+                *, shapes, wx, s, c_dim, cpc, nchunks):
     cam = pl.program_id(0)
     j = pl.program_id(1)
     k = cam * cpc + j
@@ -120,23 +120,36 @@ def _fwd_kernel(starts_ref, uvq_ref, w_ref,
     wins = (win0, win1, win2, win3)
     spreads = ((sr0, sc0), (sr1, sc1), (sr2, sc2), (sr3, sc3))
 
+    # double-buffered windows: chunk k's DMA was issued at step k-1 (or
+    # here for k == 0); issue chunk k+1's before waiting on k so the
+    # copies ride under this chunk's compute. Slots alternate by chunk
+    # parity; starts carry xs/8 so the explicit *8 lets Mosaic prove the
+    # dynamic DMA start is sublane-aligned.
+    def start_dma(row, slot):
+        @pl.when(jnp.logical_and(row < nchunks, starts_ref[row, 1] != 0))
+        def _():
+            camr = starts_ref[row, 0]
+            xs = (starts_ref[row, 2] * 8, starts_ref[row, 3] * 8, 0, 0)
+            for l in range(4):
+                pltpu.make_async_copy(
+                    feats[l].at[camr, :, pl.ds(xs[l], wx[l]), :],
+                    wins[l].at[slot], sems.at[slot, l]).start()
+
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _():
+        start_dma(0, 0)
+
+    start_dma(k + 1, jax.lax.rem(k + 1, 2))
+
     @pl.when(valid == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     @pl.when(valid != 0)
     def _():
-        # starts carry xs/8: the explicit *8 lets Mosaic prove the
-        # dynamic DMA start is sublane-aligned
         xs = (starts_ref[k, 2] * 8, starts_ref[k, 3] * 8, 0, 0)
-        copies = []
-        for l in range(4):
-            cp = pltpu.make_async_copy(
-                feats[l].at[cam, :, pl.ds(xs[l], wx[l]), :],
-                wins[l], sems.at[l])
-            cp.start()
-            copies.append(cp)
-
         u = uvq_ref[0, :, 0:1]
         v = uvq_ref[0, :, 1:2]
         acc = jnp.zeros((s, c_dim), jnp.float32)
@@ -153,8 +166,10 @@ def _fwd_kernel(starts_ref, uvq_ref, w_ref,
                 c.astype(jnp.bfloat16), sc[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m = (rexp * cexp).astype(jnp.bfloat16)       # [S, H*WX]
-            copies[l].wait()
-            win2d = wins[l][...].reshape(h * wx[l], c_dim)
+            pltpu.make_async_copy(
+                feats[l].at[cam, :, pl.ds(xs[l], wx[l]), :],
+                wins[l].at[slot], sems.at[slot, l]).wait()
+            win2d = wins[l][slot].reshape(h * wx[l], c_dim)
             s_l = jax.lax.dot_general(
                 m, win2d, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [S, C]
@@ -329,7 +344,7 @@ def deformable_fused_fwd(feats, uvq, weights, starts, *,
 
     kernel = functools.partial(
         _fwd_kernel, shapes=tuple(shapes), wx=tuple(wx), s=s,
-        c_dim=c_dim, cpc=cpc)
+        c_dim=c_dim, cpc=cpc, nchunks=nchunks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -351,9 +366,9 @@ def deformable_fused_fwd(feats, uvq, weights, starts, *,
             lambda cam, j, *_: (cam * cpc + j, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((shapes[l][0], wx[l], c_dim), feats[0].dtype)
+            pltpu.VMEM((2, shapes[l][0], wx[l], c_dim), feats[0].dtype)
             for l in range(4)
-        ] + [pltpu.SemaphoreType.DMA((4,))],
+        ] + [pltpu.SemaphoreType.DMA((2, 4))],
     )
     return pl.pallas_call(
         kernel,
