@@ -293,6 +293,10 @@ def splat_bwd_raw_pallas(pts, pts_int, gdata, box, sem, gl, scalars, *,
             jax.ShapeDtypeStruct((p_pad, 8), jnp.float32),
             jax.ShapeDtypeStruct((p_pad, c), jnp.float32),
         ],
+        # the double-buffered point blocks (pts/pint/gl/scalars at
+        # tile_n=2048) exceed the 16 MB default scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tile_bounds, chunk_bounds, pts, pts_int, gl, scalars,
       gdata_t, box_t, sem)
