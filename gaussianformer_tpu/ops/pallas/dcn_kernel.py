@@ -8,16 +8,9 @@ two MXU matmuls per tile and the image is read once, densely:
 
     per 8x8 output tile (grid step):
       window  <- DMA x[start_r : start_r+WIN, start_c : start_c+WIN, :]
-      M_T[p, s] = tent(py_p - sy_s) * tent(px_p - sx_s) * mask_s  (VPU)
+      M_T[p, s] = sum_c w_c[s] * (p == pos_c[s])      (VPU, 4 corner passes)
       acc     = M_T^T @ window.reshape(WIN*WIN, C)     (MXU)
       out     = sum_k acc[k*64:(k+1)*64] @ W[k]        (MXU, 9 taps)
-
-    with tent(d) = max(0, 1 - |d|): the separable bilinear weight is a
-    product of two hat functions of the window-relative sample
-    coordinate, so M is built by a pure elementwise VPU chain directly
-    in [p_win, S] layout (no one-hot compare/selects, no [win, win, S]
-    intermediate, no merge-reshape relayout). Image-bounds masking is
-    implicit: the input is zero-padded, so out-of-image corners read 0.
 
 Sampling positions are exact while every offset stays within
 ``(WIN - TILE - 3) / 2`` (= ±6.5 feature px at the default WIN=24) of its
@@ -66,12 +59,7 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
     tap = q_iota // (tile * tile)
     tap_y = (tap // 3 - 1).astype(jnp.float32)
     tap_x = (tap % 3 - 1).astype(jnp.float32)
-    # window-position coordinates directly in the final [p_win, S]
-    # layout (p = py_w * win + px_w): no [win, win, S] intermediate and
-    # therefore no merge-reshape relayout in the hot loop
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
-    py_wf = (p_iota // win).astype(jnp.float32)
-    px_wf = (p_iota % win).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     copy.wait()
 
@@ -83,25 +71,43 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
         off_x = offm_ref[0, j, 1:2, :]
         mask = offm_ref[0, j, 2:3, :]
 
+        start_r = i * tile      # padded coords; global origin - lead
+        start_c = j * tile
+
         sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
         sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
 
-        # M^T via the TENT bilinear build: both corners of the separable
-        # bilinear weight are one hat function of the window-relative
-        # sample coordinate, max(0, 1 - |p - s|) — so M is two
-        # broadcasted tent evaluations and a product, built directly in
-        # [p_win, S] layout (pure elementwise VPU chain, no one-hot
-        # compare/select passes). Image-bounds masking is unnecessary:
-        # `xp` is zero-padded, so an out-of-image corner reads 0 and
-        # contributes 0 whatever its weight (identical output and
-        # gradients to explicit ok-masking). Out-of-window corners fall
-        # outside the tent support and drop out, same clamping semantics
-        # as before (module docstring).
-        sy_rel = sy - (i * tile - lead)       # window-relative sample row
-        sx_rel = sx - (j * tile - lead)
-        tent_r = jnp.maximum(0.0, 1.0 - jnp.abs(py_wf - sy_rel))
-        tent_c = jnp.maximum(0.0, 1.0 - jnp.abs(px_wf - sx_rel))
-        m_t = (tent_r * tent_c * mask).astype(strip_buf.dtype)
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = sy - y0
+        fx = sx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+
+        # M^T via the SEPARABLE bilinear build: the corner weight
+        # wy_dy * wx_dx factors into a row term and a column term, so
+        # M[(py, px), s] = R[py, s] * C[px, s] with R/C each a 2-corner
+        # one-hot build on a small [win, S] block. Out-of-window corners
+        # match no iota row and drop out automatically (zero weight, same
+        # semantics as the old clip + ok masking); image-bounds validity
+        # factors per axis. ~3 full-size [p_win, S] passes instead of the
+        # 12 of the old 4-corner compare-select-add (measured 2.5 ms →
+        # ~1 ms per stage-3 block on v5e).
+        ry0 = y0i - (start_r - lead)          # window-relative corner rows
+        rx0 = x0i - (start_c - lead)
+        oky0 = (y0i >= 0) & (y0i <= h - 1)
+        oky1 = (y0i >= -1) & (y0i <= h - 2)
+        okx0 = (x0i >= 0) & (x0i <= w - 1)
+        okx1 = (x0i >= -1) & (x0i <= w - 2)
+        # (the product must stay f32 until after the [win, win, S] →
+        # [p_win, S] merge: bf16 tiling needs sublane multiples of 16 and
+        # Mosaic rejects the shape cast at win=24)
+        r_fac = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
+                 + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0)) * mask
+        c_fac = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
+                 + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
+        m_t = (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
+            p_win, s_total).astype(strip_buf.dtype)
 
         win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
 
@@ -229,9 +235,7 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
     tap = q_iota // (tile * tile)
     tap_y = (tap // 3 - 1).astype(jnp.float32)
     tap_x = (tap % 3 - 1).astype(jnp.float32)
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (p_win, 1), 0)
-    py_wf = (p_iota // win).astype(jnp.float32)
-    px_wf = (p_iota % win).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     first = (b == 0) & (i == 0)
 
@@ -251,17 +255,31 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
         off_x = offm_ref[0, j, 1:2, :]
         mask = offm_ref[0, j, 2:3, :]
 
+        start_r = i * tile
+        start_c = j * tile
         sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
         sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = sy - y0
+        fx = sx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
 
-        # tent M build in the final [p_win, S] layout (see _kernel);
-        # tent_r/tent_c are the mask-free row/col factors, reused below
-        # for the offset/mask chain rule
-        diff_r = py_wf - (sy - (i * tile - lead))
-        diff_c = px_wf - (sx - (j * tile - lead))
-        tent_r = jnp.maximum(0.0, 1.0 - jnp.abs(diff_r))
-        tent_c = jnp.maximum(0.0, 1.0 - jnp.abs(diff_c))
-        m_t = (tent_r * tent_c * mask).astype(strip_buf.dtype)
+        # separable M build (see _kernel): r_t/c_t are the mask-free
+        # row/col factors, reused below for the offset/mask chain rule
+        ry0 = y0i - (start_r - lead)
+        rx0 = x0i - (start_c - lead)
+        oky0 = (y0i >= 0) & (y0i <= h - 1)
+        oky1 = (y0i >= -1) & (y0i <= h - 2)
+        okx0 = (x0i >= 0) & (x0i <= w - 1)
+        okx1 = (x0i >= -1) & (x0i <= w - 2)
+        r_t = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
+               + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0))
+        c_t = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
+               + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
+        m_t = ((r_t * mask)[:, None, :] * c_t[None, :, :]).reshape(
+            p_win, s_total).astype(strip_buf.dtype)
 
         win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
         acc = jax.lax.dot_general(
@@ -295,25 +313,23 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
         gstrip_buf[:, sl, :] = (gstrip_buf[:, sl, :]
                                 + g_win.reshape(win, win, c_in))
 
-        # offset/mask chain rule through the tent factorization:
-        # M = mask * tent_r * tent_c gives
-        #   g_mask = Σ_p g_M tent_r tent_c
-        #   g_sy   = mask Σ_p g_M tent_r' tent_c
-        #   g_sx   = mask Σ_p g_M tent_r tent_c'
-        # with tent'(d) = +1 for d ∈ (0, 1], −1 for d ∈ (−1, 0], 0
-        # elsewhere — exactly the floor-corner convention of the exact
-        # gather path (corner y0 gets −1, corner y0+1 gets +1, incl. the
-        # integer-coordinate edge where fy = 0). Three multiply-reduces
-        # in the native [p_win, S] layout, no reshape relayout.
-        dtent_r = jnp.where((diff_r > -1.0) & (diff_r <= 1.0),
-                            jnp.where(diff_r > 0.0, 1.0, -1.0), 0.0)
-        dtent_c = jnp.where((diff_c > -1.0) & (diff_c <= 1.0),
-                            jnp.where(diff_c > 0.0, 1.0, -1.0), 0.0)
-        g_mask = jnp.sum(g_m * tent_r * tent_c, axis=0, keepdims=True)
-        g_sy = mask * jnp.sum(g_m * dtent_r * tent_c, axis=0,
-                              keepdims=True)
-        g_sx = mask * jnp.sum(g_m * tent_r * dtent_c, axis=0,
-                              keepdims=True)
+        # offset/mask chain rule through the separable factorization:
+        # M = mask * (R ⊗ C) gives
+        #   g_mask = Σ_py R[py] E[py],    E[py, s] = Σ_px g_M[(py,px), s] C[px, s]
+        #   g_sy   = mask Σ_py R'[py] E[py]   (R' = dR/dsy: ∓ok one-hots)
+        #   g_sx   = mask Σ_px C'[px] F[px],  F[px, s] = Σ_py g_M R[py, s]
+        # — two full-size multiply-reduces instead of four per-corner
+        # compare-select-reduce passes.
+        g_m3 = g_m.reshape(win, win, s_total)
+        e_r = jnp.sum(g_m3 * c_t[None, :, :], axis=1)     # [win, S]
+        f_c = jnp.sum(g_m3 * r_t[:, None, :], axis=0)     # [win, S]
+        dr = (jnp.where(iota_w == ry0 + 1, 1.0 * oky1, 0.0)
+              - jnp.where(iota_w == ry0, 1.0 * oky0, 0.0))
+        dc = (jnp.where(iota_w == rx0 + 1, 1.0 * okx1, 0.0)
+              - jnp.where(iota_w == rx0, 1.0 * okx0, 0.0))
+        g_mask = jnp.sum(r_t * e_r, axis=0, keepdims=True)
+        g_sy = mask * jnp.sum(dr * e_r, axis=0, keepdims=True)
+        g_sx = mask * jnp.sum(dc * f_c, axis=0, keepdims=True)
 
         goffm_ref[0, j, 0:1, :] = g_sy
         goffm_ref[0, j, 1:2, :] = g_sx
