@@ -219,46 +219,76 @@ class DeformableFeatureAggregation(nn.Module):
                 b, p, self.num_cams, self.num_levels, num_pts,
                 self.num_groups)
 
-        if self.attn_drop > 0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = jax.random.uniform(rng, weights.shape) > self.attn_drop
-        else:
-            keep = jnp.ones(weights.shape, bool)
-
-        # [B, P, pts, cams, lvls, groups] (reference permute :180-205)
-        weights = jnp.transpose(weights, (0, 1, 4, 2, 3, 5))
-        keep = jnp.transpose(keep, (0, 1, 4, 2, 3, 5))
-
         points_2d, vis_mask = project_points(
             key_points, projection_mat, image_wh)
-        # vis: [B, cams, P, pts] → [B, P, pts, cams]
-        vis = jnp.transpose(vis_mask, (0, 2, 3, 1))
-        mask = vis[..., None, None] & keep
-        all_miss = jnp.sum(mask, axis=(2, 3, 4), keepdims=True) == 0
-
-        # softmax over (pts, cams, lvls) with -inf at masked entries; rows
-        # that miss every camera are softmaxed over zeros and then zeroed
-        # out entirely (reference :219-224 — avoids NaN from all -inf).
-        miss_b = jnp.broadcast_to(all_miss, mask.shape)
-        w = jnp.where(mask, weights, -jnp.inf)
-        w = jnp.where(miss_b, 0.0, w)
-        w_flat = w.reshape(b, p, num_pts * self.num_cams * self.num_levels,
-                           self.num_groups)
-        w_soft = jax.nn.softmax(w_flat, axis=-2)
-        w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
-        w_soft = w_soft.reshape(b, p * num_pts,
-                                self.num_cams, self.num_levels,
-                                self.num_groups)
-
-        loc = jnp.transpose(points_2d, (0, 2, 3, 1, 4)).reshape(
-            b, p * num_pts, self.num_cams, 2)
 
         if self.backend == "fused":
-            from ...ops.deformable import deformable_aggregation_fused
+            # CAM-MAJOR pipeline: projection ([B, cams, P, pts, 2]), vis
+            # mask and the per-camera kernel chunking all natively use
+            # cams-major layouts — one weights transpose here replaces
+            # the [Q, cams] ↔ [cams, Q] round trips of the generic path
+            # (~2.5 ms/call of pure data movement at flagship size).
+            w_cm = jnp.transpose(weights, (0, 2, 1, 4, 3, 5))
+            # [B, cams, P, pts, lvls, G]
+            if self.attn_drop > 0 and not deterministic:
+                rng = self.make_rng("dropout")
+                keep = jax.random.uniform(rng, w_cm.shape) > self.attn_drop
+            else:
+                keep = jnp.ones(w_cm.shape, bool)
+            mask = vis_mask[..., None, None] & keep
+            all_miss = jnp.sum(mask, axis=(1, 3, 4), keepdims=True) == 0
+            miss_b = jnp.broadcast_to(all_miss, mask.shape)
+            # masked softmax over (cams, pts, lvls) per (b, p, group),
+            # same semantics as the generic path below
+            w = jnp.where(mask, w_cm, -jnp.inf)
+            w = jnp.where(miss_b, 0.0, w)
+            m = jnp.max(w, axis=(1, 3, 4), keepdims=True)
+            e = jnp.exp(w - m)
+            s = jnp.sum(e, axis=(1, 3, 4), keepdims=True)
+            w_soft = jnp.where(miss_b, 0.0, e / s)
+            loc_cm = points_2d.reshape(b, self.num_cams, p * num_pts, 2)
+            w_flat_cm = w_soft.reshape(
+                b, self.num_cams, p * num_pts,
+                self.num_levels * self.num_groups)
+            from ...ops.deformable import deformable_aggregation_fused_cm
             # key-point reduction is fused into the kernel → [b, p, C]
-            features = deformable_aggregation_fused(
-                feature_maps, loc, w_soft, self.num_groups, num_pts)
+            features = deformable_aggregation_fused_cm(
+                feature_maps, loc_cm, w_flat_cm, self.num_groups, num_pts)
         else:
+            if self.attn_drop > 0 and not deterministic:
+                rng = self.make_rng("dropout")
+                keep = jax.random.uniform(rng, weights.shape) \
+                    > self.attn_drop
+            else:
+                keep = jnp.ones(weights.shape, bool)
+
+            # [B, P, pts, cams, lvls, groups] (reference permute :180-205)
+            weights = jnp.transpose(weights, (0, 1, 4, 2, 3, 5))
+            keep = jnp.transpose(keep, (0, 1, 4, 2, 3, 5))
+
+            # vis: [B, cams, P, pts] → [B, P, pts, cams]
+            vis = jnp.transpose(vis_mask, (0, 2, 3, 1))
+            mask = vis[..., None, None] & keep
+            all_miss = jnp.sum(mask, axis=(2, 3, 4), keepdims=True) == 0
+
+            # softmax over (pts, cams, lvls) with -inf at masked entries;
+            # rows that miss every camera are softmaxed over zeros and
+            # then zeroed out entirely (reference :219-224 — avoids NaN
+            # from all -inf).
+            miss_b = jnp.broadcast_to(all_miss, mask.shape)
+            w = jnp.where(mask, weights, -jnp.inf)
+            w = jnp.where(miss_b, 0.0, w)
+            w_flat = w.reshape(
+                b, p, num_pts * self.num_cams * self.num_levels,
+                self.num_groups)
+            w_soft = jax.nn.softmax(w_flat, axis=-2)
+            w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
+            w_soft = w_soft.reshape(b, p * num_pts,
+                                    self.num_cams, self.num_levels,
+                                    self.num_groups)
+
+            loc = jnp.transpose(points_2d, (0, 2, 3, 1, 4)).reshape(
+                b, p * num_pts, self.num_cams, 2)
             features = deformable_aggregation(
                 feature_maps, loc, w_soft, self.num_groups)
             features = features.reshape(b, p, num_pts, self.embed_dims)

@@ -68,15 +68,27 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
             )
         else:
             overlap = jnp.bool_(True)
+        # every gaussian box in chunk j contains the whole tile (cover
+        # bounds cols 8-13, host-computed with padded rows forced to
+        # non-cover): the AABB mask is all-ones and its ~11 VPU passes
+        # can be skipped — the common case in the big-radius regime
+        # where chunk pruning never fires.
+        covers = (
+            (chunk_bounds_ref[j, 8] <= t_lo_x)
+            & (chunk_bounds_ref[j, 9] <= t_lo_y)
+            & (chunk_bounds_ref[j, 10] <= t_lo_z)
+            & (chunk_bounds_ref[j, 11] >= t_hi_x)
+            & (chunk_bounds_ref[j, 12] >= t_hi_y)
+            & (chunk_bounds_ref[j, 13] >= t_hi_z)
+        )
 
-        def compute(carry):
+        def compute(with_mask, carry):
             acc, om = carry
             start = j * chunk_g
             # gaussian data is stored transposed ([row, P]) so each chunk
             # slice is a lane-aligned [1, Pc] row — no sublane→lane
             # transposes inside the loop.
             g = gdata_ref[:, pl.ds(start, chunk_g)]         # [16, Pc]
-            box_c = box_ref[:, pl.ds(start, chunk_g)]       # [8, Pc] int32
             sem_c = sem_aug_ref[pl.ds(start, chunk_g), :]   # [Pc, C+2]
 
             dx = g[0:1, :] - x                               # [tile_n, Pc]
@@ -90,11 +102,13 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
                         + g[7:8, :] * dy * dz
                         + g[8:9, :] * dx * dz))
 
-            mask = ((jnp.abs(px - box_c[0:1, :]) <= box_c[3:4, :])
-                    & (jnp.abs(py - box_c[1:2, :]) <= box_c[4:5, :])
-                    & (jnp.abs(pz - box_c[2:3, :]) <= box_c[5:6, :]))
-
-            power = jnp.exp(jnp.minimum(logit, 30.0)) * mask
+            power = jnp.exp(jnp.minimum(logit, 30.0))
+            if with_mask:
+                box_c = box_ref[:, pl.ds(start, chunk_g)]   # [8, Pc] int32
+                mask = ((jnp.abs(px - box_c[0:1, :]) <= box_c[3:4, :])
+                        & (jnp.abs(py - box_c[1:2, :]) <= box_c[4:5, :])
+                        & (jnp.abs(pz - box_c[2:3, :]) <= box_c[5:6, :]))
+                power = power * mask
 
             acc = acc + jax.lax.dot_general(
                 power, sem_c, (((1,), (0,)), ((), ())),
@@ -106,7 +120,12 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
                 om = om + jnp.sum(jnp.log1p(-power), axis=1, keepdims=True)
             return acc, om
 
-        return jax.lax.cond(overlap, compute, lambda c: c, (acc, om))
+        return jax.lax.cond(
+            overlap,
+            lambda c: jax.lax.cond(covers,
+                                   functools.partial(compute, False),
+                                   functools.partial(compute, True), c),
+            lambda c: c, (acc, om))
 
     acc0 = jnp.zeros((tile_n, c_aug), jnp.float32)
     om0 = jnp.zeros((tile_n, 1), jnp.float32)
@@ -186,8 +205,17 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     glo = (box[:, :3] - box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
     ghi = (box[:, :3] + box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
     zero_c = jnp.zeros((num_chunks, 1), jnp.int32)
+    # cover bounds (cols 8-13): chunk j's boxes ALL contain a tile iff
+    # max_g(lo) <= tile_lo and min_g(hi) >= tile_hi. Padded/dummy rows
+    # (negative radii) must force non-cover — their zero sem row is
+    # harmless in acc but power=1 would poison the om product.
+    dummy = (box[:, 3:6] < 0).any(-1).reshape(num_chunks, chunk_g, 1)
+    big = jnp.int32(10 ** 6)
+    cov_lo = jnp.max(jnp.where(dummy, big, glo), axis=1)
+    cov_hi = jnp.min(jnp.where(dummy, -big, ghi), axis=1)
     chunk_bounds = jnp.concatenate(
-        [jnp.min(glo, axis=1), zero_c, jnp.max(ghi, axis=1), zero_c],
+        [jnp.min(glo, axis=1), zero_c, jnp.max(ghi, axis=1), zero_c,
+         cov_lo, cov_hi, zero_c, zero_c],
         axis=-1).astype(jnp.int32)
 
     c_aug = sem_aug.shape[1]

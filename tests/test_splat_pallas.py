@@ -55,3 +55,27 @@ def test_splat_pallas_vmem_budget_error():
         splat_kernel.splat_raw_pallas(
             pts, pint, jnp.zeros((p, 16)), jnp.zeros((p, 8), jnp.int32),
             jnp.zeros((p, 20)), interpret=True)
+
+
+@pytest.mark.parametrize("variant", ["additive", "prob"])
+def test_pallas_cover_fastpath_matches_xla(variant):
+    """Huge scales make every gaussian box cover every tile, driving the
+    kernel's mask-free cover branch — including a padded dummy row in the
+    last chunk (P=13, chunk_g=8), which must force that chunk back onto
+    the masked path (a dummy's power=1 would poison the om product)."""
+    points, means, opas, sem, scales, cov_inv = make_problem(
+        seed=7, N=96, P=13, C=6)
+    scales = jnp.full_like(scales, 50.0)  # boxes span the whole grid
+    from gaussianformer_tpu.ops.covariance import build_covariance_inverse
+    import numpy as np2
+    rng = np2.random.RandomState(7)
+    quats = jnp.asarray(rng.randn(*means.shape[:-1], 4), jnp.float32)
+    cov_inv = build_covariance_inverse(scales, quats)
+    args = (points, means, opas, sem, scales, cov_inv)
+    ref = splat(*args, GRID, variant=variant, backend="xla",
+                tile_n=32, chunk_g=8)
+    got = splat(*args, GRID, variant=variant, backend="pallas",
+                pallas_tile_n=32, pallas_chunk_g=8, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
