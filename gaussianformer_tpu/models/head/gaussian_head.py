@@ -143,7 +143,10 @@ class GaussianHead(nn.Module):
                 sampled_xyz, means, opa, sem, scales, cov_inv6, self.grid,
                 variant="prob" if self.use_localaggprob else "additive",
                 per_axis_radii=self.per_axis_radii,
-                tile_n=self.splat_tile_n, chunk_g=self.splat_chunk_g)
+                tile_n=self.splat_tile_n, chunk_g=self.splat_chunk_g,
+                # occ_xyz is the raster voxel grid (z fastest) — enables
+                # the Pallas incremental-z exponent path
+                grid_ordered=(occ_xyz.shape[3] == self.grid.D))
 
             if self.use_localaggprob:
                 logits, bins, dens = outs

@@ -36,10 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
             pts_ref, pts_int_ref, gdata_ref, box_ref, sem_aug_ref,
             acc_ref, om_ref, *, num_chunks: int, chunk_g: int,
-            needs_om: bool, prune: bool = True):
+            needs_om: bool, prune: bool = True, zrun: int = 0):
+    """zrun > 0 enables the INCREMENTAL-Z fast path: the tile's points
+    are zrun-long z-columns of a regular voxel grid, laid out z-major
+    (rows z * cols + col — the wrapper permutes), so the exponent is a
+    quadratic in z per (column, gaussian) and each z step costs two adds
+    instead of the full ~20-pass quadratic-form build:
+
+        logit(z+1) = logit(z) + delta(z),  delta(z+1) = delta(z) + 2B
+
+    with the per-gaussian constants (B = -izz*vs^2/2 etc.) precomputed
+    into gdata rows 9-12 by the wrapper."""
     i = pl.program_id(0)
     tile_n = pts_ref.shape[0]
-    c_aug = sem_aug_ref.shape[1]
+    c_aug = sem_aug_ref.shape[1] // 2    # (hi, lo) bf16 column pairs
 
     t_lo_x = tile_bounds_ref[i, 0]
     t_lo_y = tile_bounds_ref[i, 1]
@@ -91,29 +101,68 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
             g = gdata_ref[:, pl.ds(start, chunk_g)]         # [16, Pc]
             sem_c = sem_aug_ref[pl.ds(start, chunk_g), :]   # [Pc, C+2]
 
-            dx = g[0:1, :] - x                               # [tile_n, Pc]
-            dy = g[1:2, :] - y
-            dz = g[2:3, :] - z
-            quad = (g[3:4, :] * dx * dx
-                    + g[4:5, :] * dy * dy
-                    + g[5:6, :] * dz * dz)
-            logit = (-0.5 * quad
-                     - (g[6:7, :] * dx * dy
-                        + g[7:8, :] * dy * dz
-                        + g[8:9, :] * dx * dz))
+            if zrun:
+                cols = tile_n // zrun
+                xc = x[0:cols, :]
+                yc = y[0:cols, :]
+                z0 = z[0:cols, :]
+                dx = g[0:1, :] - xc                          # [cols, Pc]
+                dy = g[1:2, :] - yc
+                dz = g[2:3, :] - z0
+                quad = (g[3:4, :] * dx * dx
+                        + g[4:5, :] * dy * dy
+                        + g[5:6, :] * dz * dz)
+                logit0 = (-0.5 * quad
+                          - (g[6:7, :] * dx * dy
+                             + g[7:8, :] * dy * dz
+                             + g[8:9, :] * dx * dz))
+                delta = (g[9:10, :] * dz + g[10:11, :]
+                         + g[11:12, :] * dy + g[12:13, :] * dx)
+                two_b = g[10:11, :] * 2.0
+                slices = []
+                l_z = logit0
+                d_z = delta
+                for _ in range(zrun):
+                    slices.append(l_z)
+                    l_z = l_z + d_z
+                    d_z = d_z + two_b
+                logit = jnp.concatenate(slices, axis=0)      # [tile_n, Pc]
+            else:
+                dx = g[0:1, :] - x                           # [tile_n, Pc]
+                dy = g[1:2, :] - y
+                dz = g[2:3, :] - z
+                quad = (g[3:4, :] * dx * dx
+                        + g[4:5, :] * dy * dy
+                        + g[5:6, :] * dz * dz)
+                logit = (-0.5 * quad
+                         - (g[6:7, :] * dx * dy
+                            + g[7:8, :] * dy * dz
+                            + g[8:9, :] * dx * dz))
 
             power = jnp.exp(jnp.minimum(logit, 30.0))
             if with_mask:
                 box_c = box_ref[:, pl.ds(start, chunk_g)]   # [8, Pc] int32
-                mask = ((jnp.abs(px - box_c[0:1, :]) <= box_c[3:4, :])
-                        & (jnp.abs(py - box_c[1:2, :]) <= box_c[4:5, :])
-                        & (jnp.abs(pz - box_c[2:3, :]) <= box_c[5:6, :]))
+                # box rows are (lo, hi) bounds: two compares per axis
+                # instead of sub+abs+compare
+                mask = ((px >= box_c[0:1, :]) & (px <= box_c[3:4, :])
+                        & (py >= box_c[1:2, :]) & (py <= box_c[4:5, :])
+                        & (pz >= box_c[2:3, :]) & (pz <= box_c[5:6, :]))
                 power = power * mask
 
-            acc = acc + jax.lax.dot_general(
-                power, sem_c, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            # compensated bf16x2 matmul (Mosaic supports only DEFAULT /
+            # HIGHEST): err ~2^-17 at half the HIGHEST pass count
+            p_hi = power.astype(jnp.bfloat16)
+            p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            s_hi = sem_c[:, 0:c_aug]                         # bf16 tables
+            s_lo = sem_c[:, c_aug:]
+
+            def mm(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            acc = acc + (mm(p_hi, s_hi) + (mm(p_hi, s_lo)
+                                           + mm(p_lo, s_hi)))
             if needs_om:
                 # log-space product (Mosaic has no reduce_prod); exact at
                 # the power→1 pole: log(0) = -inf → exp(-inf) = 0.
@@ -166,7 +215,8 @@ def _check_vmem_budget(p_pad: int, c_aug: int, tile_n: int, chunk_g: int):
 
 def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
                      chunk_g: int = 512, needs_om: bool = True,
-                     interpret: bool = False, prune: bool = True):
+                     interpret: bool = False, prune: bool = True,
+                     zrun: int = 0):
     """Raw splat accumulators for one batch element.
 
     pts:     [N, 4]   float32 query points (xyz, pad).
@@ -175,6 +225,12 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     box:     [P, 8]   int32 [mx, my, mz, rx, ry, rz, 0, 0]; dummy rows
                       must use radii -1 so they never match.
     sem_aug: [P, C+2] [sem * w, w, 1] (prob) or [sem * opa, ...] (additive).
+    zrun:    declare that the points are consecutive z-columns of a
+             regular grid, ``zrun`` voxels per column (z fastest, uniform
+             z spacing): enables the incremental-z kernel path (~2x on
+             the VPU-bound exponent build). The wrapper permutes each
+             tile z-major and inverse-permutes the outputs, so results
+             stay in input order.
 
     Returns (acc [N, C+2], one_minus [N]).
     """
@@ -184,14 +240,52 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     num_tiles = n_pad // tile_n
     num_chunks = p_pad // chunk_g
     _check_vmem_budget(p_pad, sem_aug.shape[1], tile_n, chunk_g)
+    if zrun and (tile_n % zrun != 0 or n % zrun != 0):
+        zrun = 0
 
     pts = _pad_rows(pts, n_pad)
     pts_int = _pad_rows(pts_int, n_pad, value=-(10 ** 6))
     gdata = _pad_rows(gdata, p_pad)
     box = _pad_rows(box, p_pad, value=-1)
     sem_aug = _pad_rows(sem_aug, p_pad)
+
+    if zrun:
+        # per-gaussian z-step constants (rows 9-12, see _kernel): the z
+        # spacing is read off the first column of the first tile
+        z_step = pts[1, 2] - pts[0, 2]
+        izz = gdata[:, 5]
+        consts = jnp.stack([
+            izz * z_step, -0.5 * izz * z_step * z_step,
+            gdata[:, 7] * z_step, gdata[:, 8] * z_step], axis=1)
+        gdata = jnp.concatenate(
+            [gdata[:, :9], consts, gdata[:, 13:]], axis=1)
+        # permute each tile z-major (kernel row zi*cols + col <- input
+        # row col*zrun + zi); outputs are inverse-permuted below
+        cols = tile_n // zrun
+        k = jnp.arange(tile_n, dtype=jnp.int32)
+        perm_local = (k % cols) * zrun + k // cols
+        inv_local = (k % zrun) * cols + k // zrun
+        base = (jnp.arange(n_pad, dtype=jnp.int32) // tile_n) * tile_n
+        perm = base + perm_local[jnp.arange(n_pad) % tile_n]
+        inv_perm = base + inv_local[jnp.arange(n_pad) % tile_n]
+        pts = pts[perm]
+        pts_int = pts_int[perm]
+
     gdata_t = gdata.T                    # [16, P]
-    box_t = box.T                        # [8, P]
+    # box rows become (lo(3), hi(3)): two compares per axis in-kernel
+    # instead of sub+abs+compare. Dummy rows (radius -1) give lo > hi and
+    # never match, padding rows (-1) match only px == -1 (impossible:
+    # real voxels are >= 0, sentinels are -1e6).
+    box_lh = jnp.concatenate(
+        [box[:, :3] - box[:, 3:6], box[:, :3] + box[:, 3:6],
+         box[:, 6:]], axis=1)
+    box_t = box_lh.T                     # [8, P]
+    # semantic table as compensated bf16 pairs (hi, lo): Mosaic supports
+    # only DEFAULT/HIGHEST dot precision; hi/lo splitting gets ~f32
+    # accuracy at half the HIGHEST pass count. Same bytes as f32.
+    sem_hi = sem_aug.astype(jnp.bfloat16)
+    sem_lo = (sem_aug - sem_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    sem_pair = jnp.concatenate([sem_hi, sem_lo], axis=1)
 
     # per-tile bounds (lo over valid rows only: sentinels pushed to +inf
     # for the min; the max ignores the -1e6 sentinels naturally)
@@ -221,7 +315,7 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     c_aug = sem_aug.shape[1]
     kernel = functools.partial(_kernel, num_chunks=num_chunks,
                                chunk_g=chunk_g, needs_om=needs_om,
-                               prune=prune)
+                               prune=prune, zrun=zrun)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -249,5 +343,8 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_bounds, chunk_bounds, pts, pts_int, gdata_t, box_t, sem_aug)
+    )(tile_bounds, chunk_bounds, pts, pts_int, gdata_t, box_t, sem_pair)
+    if zrun:
+        acc = acc[inv_perm]
+        om = om[inv_perm]
     return acc[:n], om[:n, 0]

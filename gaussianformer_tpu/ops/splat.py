@@ -267,7 +267,7 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
           per_axis_radii: bool = True, tile_n: int = 8192,
           chunk_g: int = 128, backend: str = "auto",
           pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
-          interpret: bool = False):
+          grid_ordered: bool = False, interpret: bool = False):
     """Batched Gaussian→voxel splat.
 
     Args:
@@ -281,6 +281,12 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
       per_axis_radii: anisotropic AABB (localagg_prob_fast) vs isotropic.
       backend:   "xla" (chunked lax.scan), "pallas" (fused TPU kernel with
                  chunk-level AABB skipping), or "auto" (pallas on TPU).
+      grid_ordered: declare that ``points`` is a raster-ordered regular
+                 voxel grid (z fastest, uniform spacing, N a multiple of
+                 grid.D) — enables the Pallas kernel's incremental-z
+                 exponent path (~2x on its VPU-bound build). Output
+                 order is unchanged. Only the caller can know this, so
+                 it is opt-in (the head sets it).
 
     Returns:
       additive: (logits [B, N, C],)
@@ -294,6 +300,7 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
                              cov_inv6, grid, variant=variant,
                              per_axis_radii=per_axis_radii,
                              tile_n=pallas_tile_n, chunk_g=pallas_chunk_g,
+                             zrun=grid.D if grid_ordered else 0,
                              interpret=interpret)
 
     points = jax.lax.stop_gradient(points)
@@ -592,7 +599,8 @@ def _pack_gaussians(points, means, opacities, semantics, scales, cov_inv6,
 
 def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
                            cov_inv6, grid, variant, per_axis_radii, tile_n,
-                           chunk_g, interpret, with_aux: bool = False):
+                           chunk_g, interpret, with_aux: bool = False,
+                           zrun: int = 0):
     from .pallas.splat_kernel import splat_raw_pallas
     c = semantics.shape[-1]
     pts4, pint, gdata, box, sem_aug = _pack_gaussians(
@@ -605,7 +613,7 @@ def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
         acc, om = splat_raw_pallas(
             pts4[bi], pint[bi], gdata[bi], box[bi], sem_aug[bi],
             tile_n=tile_n, chunk_g=chunk_g, needs_om=needs_om,
-            interpret=interpret)
+            interpret=interpret, zrun=zrun)
         if variant == "prob":
             outs.append(_postprocess_prob(acc, om, c))
             auxs.append((acc[:, c], om))
@@ -622,7 +630,7 @@ def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
 
 def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
                   grid, *, variant, per_axis_radii, tile_n, chunk_g,
-                  interpret, pallas_bwd: bool = True):
+                  interpret, zrun: int = 0, pallas_bwd: bool = True):
     """Pallas forward with a hand-derived backward: the forward's
     normalizers (prob_sum, one_minus, logits) are saved so the backward
     is one streaming pass — no full forward recompute under autodiff
@@ -634,13 +642,14 @@ def _splat_pallas(points, means, opacities, semantics, scales, cov_inv6,
     def f(means, opacities, semantics, cov_inv6):
         return _splat_pallas_fwd_only(
             points, means, opacities, semantics, scales, cov_inv6, grid,
-            variant, per_axis_radii, tile_n, chunk_g, interpret)
+            variant, per_axis_radii, tile_n, chunk_g, interpret,
+            zrun=zrun)
 
     def f_fwd(means, opacities, semantics, cov_inv6):
         outs, aux = _splat_pallas_fwd_only(
             points, means, opacities, semantics, scales, cov_inv6, grid,
             variant, per_axis_radii, tile_n, chunk_g, interpret,
-            with_aux=True)
+            with_aux=True, zrun=zrun)
         if variant == "prob":
             logits = outs[0]
             prob_sum, one_minus = aux
