@@ -260,16 +260,19 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
         gdata = jnp.concatenate(
             [gdata[:, :9], consts, gdata[:, 13:]], axis=1)
         # permute each tile z-major (kernel row zi*cols + col <- input
-        # row col*zrun + zi); outputs are inverse-permuted below
+        # row col*zrun + zi). The permutation is tile-local and static,
+        # so it is a pure reshape/transpose — XLA lowers it as a relayout
+        # copy (~1 ms for the [640k, 20] output) instead of the ~19 ms
+        # row gather an index-array formulation costs.
         cols = tile_n // zrun
-        k = jnp.arange(tile_n, dtype=jnp.int32)
-        perm_local = (k % cols) * zrun + k // cols
-        inv_local = (k % zrun) * cols + k // zrun
-        base = (jnp.arange(n_pad, dtype=jnp.int32) // tile_n) * tile_n
-        perm = base + perm_local[jnp.arange(n_pad) % tile_n]
-        inv_perm = base + inv_local[jnp.arange(n_pad) % tile_n]
-        pts = pts[perm]
-        pts_int = pts_int[perm]
+
+        def _to_kernel_order(a):
+            d = a.shape[1]
+            return a.reshape(-1, cols, zrun, d).transpose(
+                0, 2, 1, 3).reshape(n_pad, d)
+
+        pts = _to_kernel_order(pts)
+        pts_int = _to_kernel_order(pts_int)
 
     gdata_t = gdata.T                    # [16, P]
     # box rows become (lo(3), hi(3)): two compares per axis in-kernel
@@ -345,6 +348,11 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
         interpret=interpret,
     )(tile_bounds, chunk_bounds, pts, pts_int, gdata_t, box_t, sem_pair)
     if zrun:
-        acc = acc[inv_perm]
-        om = om[inv_perm]
+        def _from_kernel_order(a):
+            d = a.shape[1]
+            return a.reshape(-1, zrun, cols, d).transpose(
+                0, 2, 1, 3).reshape(n_pad, d)
+
+        acc = _from_kernel_order(acc)
+        om = _from_kernel_order(om)
     return acc[:n], om[:n, 0]
