@@ -61,7 +61,8 @@ class GaussianOccEncoder(nn.Module):
                        else "xla")
         deform_cfg["backend"] = backend
         if backend == "fused":
-            packed_feats = list(ms_img_feats)
+            from ...ops.deformable import prepack_feature_maps_cm
+            packed_feats = prepack_feature_maps_cm(ms_img_feats)
         else:
             from ...ops.deformable import pack_feature_maps
             packed_feats = pack_feature_maps(ms_img_feats)

@@ -270,12 +270,30 @@ def deformable_aggregation_fused(feature_maps, points_2d, weights,
         interpret=interpret)
 
 
+def prepack_feature_maps_cm(feature_maps):
+    """One-time prep of the per-level maps for the fused TPU kernel:
+    pad W to a sublane multiple (so full-level windows DMA cleanly) and
+    cast to bf16. The encoder calls this ONCE per forward — the padded
+    265 MB stride-4 level would otherwise be rebuilt by each of the 4
+    deformable ops (the reference likewise hoists feature_maps_format,
+    ops/deformable_aggregation.py:80-117)."""
+    padded = tuple(
+        jnp.pad(f, ((0, 0), (0, 0), (0, 0),
+                    (0, _pad8(f.shape[3]) - f.shape[3]), (0, 0))
+                ).astype(jnp.bfloat16)
+        for f in feature_maps)
+    shapes = tuple((f.shape[2], f.shape[3]) for f in feature_maps)
+    return ("cm_prepacked", padded, shapes)
+
+
 def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
                                     num_groups: int, num_pts: int, *,
                                     spill_budget: int = 8192,
                                     interpret: bool = False):
     """Camera-major fused deformable aggregation.
 
+    feature_maps: raw per-level list ([B, cams, H_l, W_l, C] each) or a
+    :func:`prepack_feature_maps_cm` result.
     points_cm:  [B, cams, Q, 2]; weights_cm: [B, cams, Q, L*G] — the
     layouts the projection and the per-camera chunking naturally use, so
     the wrapper does no [Q, cams] ↔ [cams, Q] transposes (measured
@@ -283,10 +301,15 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
     """
     from .pallas.deformable_kernel import (deformable_fused_fwd,
                                            deformable_fused_bwd)
-    assert len(feature_maps) == 4 and num_groups == 4
-    b, cams = feature_maps[0].shape[:2]
-    c_dim = feature_maps[0].shape[-1]
-    shapes = tuple((f.shape[2], f.shape[3]) for f in feature_maps)
+    assert num_groups == 4
+    if (isinstance(feature_maps, tuple) and len(feature_maps) == 3
+            and feature_maps[0] == "cm_prepacked"):
+        _, padded, shapes = feature_maps
+    else:
+        assert len(feature_maps) == 4
+        _, padded, shapes = prepack_feature_maps_cm(feature_maps)
+    b, cams = padded[0].shape[:2]
+    c_dim = padded[0].shape[-1]
     wx = _window_widths(shapes)
     a_chunk = _fused_chunk_geometry(num_pts)
     q = points_cm.shape[2]
@@ -294,12 +317,7 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
 
     outs = []
     for bi in range(b):
-        # pad W to a sublane multiple so full-level windows DMA cleanly
-        feats = tuple(
-            jnp.pad(f[bi], ((0, 0), (0, 0),
-                            (0, _pad8(f.shape[3]) - f.shape[3]), (0, 0))
-                    ).astype(jnp.bfloat16)
-            for f in feature_maps)
+        feats = tuple(f[bi] for f in padded)
         outs.append(_fused_single(
             feats, points_cm[bi], weights_cm[bi], shapes, wx, num_pts,
             a_chunk, p, cams, c_dim, spill_budget,
@@ -368,11 +386,14 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
                    & (jnp.minimum(x0l + 1, wl - 1) > xs_b + wx[l] - 1))
         spill = spill | spill_l
         xs_cols.append(xs)
-    # the reference op contributes only strictly-inside samples
-    # (deformable_aggregation_cuda.cu:166) — gate here, not in-kernel,
-    # so the same where() also routes spilled pairs to the cleanup
-    w_kernel = jnp.where((ins_s & ~spill)[..., None], w_s, 0.0)
-
+    # The reference op contributes only strictly-inside samples
+    # (deformable_aggregation_cuda.cu:166); that gate and the spill
+    # gate are recomputed IN-KERNEL from u, v and xs (`_pair_gate` —
+    # bit-identical f32 chains), so the kernel's per-pair input is the
+    # gathered `packed_s` table itself, lane-padded to 32 — no separate
+    # uvq / gated-weight tables (each cost a full lane-padded rewrite,
+    # ~3 ms/call of pure data movement at flagship size). The `spill`
+    # flags computed above still route the cleanup gather.
     valid_chunk = ins_s.reshape(cams, nchunk, s_len).any(-1)
     cam_ids = jnp.broadcast_to(
         jnp.arange(cams, dtype=jnp.int32)[:, None], (cams, nchunk))
@@ -382,30 +403,28 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
         + [jnp.zeros_like(cam_ids)] * 4, axis=-1).reshape(
         cams * nchunk, 8)
 
-    uvq = jnp.stack(
-        [u_s, v_s] + [jnp.zeros_like(u_s)] * 6, axis=-1).reshape(
-        cams * nchunk, s_len, 8).astype(jnp.float32)
-    wk = w_kernel.reshape(cams * nchunk, s_len, 16).astype(jnp.float32)
+    pairdat = jnp.pad(packed_s, ((0, 0), (0, 0), (0, 12))).reshape(
+        cams * nchunk, s_len, 32)
 
     @jax.custom_vjp
-    def op(feats, uvq, wk):
-        return fwd_fn(feats, uvq, wk, starts, shapes=shapes, wx=wx,
+    def op(feats, pairdat):
+        return fwd_fn(feats, pairdat, starts, shapes=shapes, wx=wx,
                       num_pts=num_pts, a_chunk=a_chunk,
                       interpret=interpret)
 
-    def op_fwd(feats, uvq, wk):
-        return op(feats, uvq, wk), (feats, uvq, wk)
+    def op_fwd(feats, pairdat):
+        return op(feats, pairdat), (feats, pairdat)
 
     def op_bwd(res, g):
-        feats, uvq, wk = res
-        gf, guv, gw = bwd_fn(feats, uvq, wk, starts, g, shapes=shapes,
-                             wx=wx, num_pts=num_pts, a_chunk=a_chunk,
-                             interpret=interpret)
+        feats, pairdat = res
+        gf, gpair = bwd_fn(feats, pairdat, starts, g, shapes=shapes,
+                           wx=wx, num_pts=num_pts, a_chunk=a_chunk,
+                           interpret=interpret)
         return (tuple(gf[l].astype(feats[l].dtype) for l in range(4)),
-                guv, gw)
+                gpair)
 
     op.defvjp(op_fwd, op_bwd)
-    out_chunks = op(feats, uvq, wk)               # [cams*nchunk, A, C]
+    out_chunks = op(feats, pairdat)               # [cams*nchunk, A, C]
 
     # unsort (anchor level) + camera sum
     out_sorted = out_chunks.reshape(cams, p_pad, c_dim)

@@ -104,7 +104,26 @@ def _lerp_factors(u, v, h, w, xs, iota_h, iota_w):
     return r, c, fx, fy, x0a, y0
 
 
-def _fwd_kernel(starts_ref, uvq_ref, w_ref,
+def _pair_gate(pr, xs, shapes, wx):
+    """Strict-inside x window-spill gate, recomputed in-kernel.
+
+    pr: [s, 32] packed pair rows (col 0 = u, 1 = v). Must match the
+    XLA-side spill formula in ops/deformable.py `_fused_single` bit for
+    bit (both are plain f32 floor/compare chains), so a pair is handled
+    by exactly one of {kernel, spill cleanup}.
+    """
+    u = pr[:, 0:1]
+    v = pr[:, 1:2]
+    inside = (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
+    spill = jnp.zeros_like(inside)
+    for l in range(2):
+        _, w_l = shapes[l]
+        x0a = jnp.floor(u * w_l - 0.5).astype(jnp.int32)
+        spill = spill | (jnp.minimum(x0a + 1, w_l - 1) > xs[l] + wx[l] - 1)
+    return (inside & ~spill).astype(jnp.float32)
+
+
+def _fwd_kernel(starts_ref, pair_ref,
                 f0, f1, f2, f3,
                 sr0, sc0, sr1, sc1, sr2, sc2, sr3, sc3,
                 gexp_ref, red_ref,
@@ -150,8 +169,11 @@ def _fwd_kernel(starts_ref, uvq_ref, w_ref,
     @pl.when(valid != 0)
     def _():
         xs = (starts_ref[k, 2] * 8, starts_ref[k, 3] * 8, 0, 0)
-        u = uvq_ref[0, :, 0:1]
-        v = uvq_ref[0, :, 1:2]
+        pr = pair_ref[0]
+        u = pr[:, 0:1]
+        v = pr[:, 1:2]
+        gate = _pair_gate(pr, xs, shapes, wx)
+        w16 = pr[:, 4:20] * gate                         # gated weights
         acc = jnp.zeros((s, c_dim), jnp.float32)
         for l, (h, w) in enumerate(shapes):
             iota_h = jax.lax.broadcasted_iota(jnp.int32, (s, h), 1)
@@ -174,7 +196,7 @@ def _fwd_kernel(starts_ref, uvq_ref, w_ref,
                 m, win2d, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [S, C]
             wexp = jax.lax.dot_general(
-                w_ref[0, :, 4 * l:4 * l + 4].astype(jnp.bfloat16),
+                w16[:, 4 * l:4 * l + 4].astype(jnp.bfloat16),
                 gexp_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [S, C]
             acc = acc + s_l * wexp
@@ -184,11 +206,11 @@ def _fwd_kernel(starts_ref, uvq_ref, w_ref,
             preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(starts_ref, uvq_ref, w_ref, gout_ref,
+def _bwd_kernel(starts_ref, pair_ref, gout_ref,
                 f0, f1, f2, f3,
                 sr0, sc0, sr1, sc1, sr2, sc2, sr3, sc3,
                 gexp_ref, red_ref,
-                guv_ref, gw_ref, gf0_ref, gf1_ref, gf2_ref, gf3_ref,
+                gpair_ref, gf0_ref, gf1_ref, gf2_ref, gf3_ref,
                 win0, win1, win2, win3, sems,
                 *, shapes, wx, s, c_dim, cpc):
     cam = pl.program_id(0)
@@ -211,8 +233,7 @@ def _bwd_kernel(starts_ref, uvq_ref, w_ref, gout_ref,
 
     @pl.when(valid == 0)
     def _():
-        guv_ref[...] = jnp.zeros_like(guv_ref)
-        gw_ref[...] = jnp.zeros_like(gw_ref)
+        gpair_ref[...] = jnp.zeros_like(gpair_ref)
 
     @pl.when(valid != 0)
     def _():
@@ -227,8 +248,11 @@ def _bwd_kernel(starts_ref, uvq_ref, w_ref, gout_ref,
             cp.start()
             copies.append(cp)
 
-        u = uvq_ref[0, :, 0:1]
-        v = uvq_ref[0, :, 1:2]
+        pr = pair_ref[0]
+        u = pr[:, 0:1]
+        v = pr[:, 1:2]
+        gate = _pair_gate(pr, xs, shapes, wx)
+        w16 = pr[:, 4:20] * gate
         # per-pair cotangent: anchor rows expanded back over key points
         g_pair = jax.lax.dot_general(
             red_ref[...], gout_ref[0], (((0,), (0,)), ((), ())),
@@ -272,7 +296,7 @@ def _bwd_kernel(starts_ref, uvq_ref, w_ref, gout_ref,
             s_l = jax.lax.dot_general(
                 m, win2d, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            w_l4 = w_ref[0, :, 4 * l:4 * l + 4]
+            w_l4 = w16[:, 4 * l:4 * l + 4]
             wexp = jax.lax.dot_general(
                 w_l4.astype(jnp.bfloat16), gexp_ref[...],
                 (((1,), (0,)), ((), ())),
@@ -311,20 +335,25 @@ def _bwd_kernel(starts_ref, uvq_ref, w_ref, gout_ref,
                 preferred_element_type=jnp.float32)      # [S, 4]
             gw_parts.append(gw_l)
 
-        guv = jnp.concatenate(
-            [g_u, g_v, jnp.zeros((s, 6), jnp.float32)], axis=1)
-        guv_ref[0] = guv
-        gw_ref[0] = jnp.concatenate(gw_parts, axis=1)
+        # gated pairs contributed nothing, so their u/v/w grads through
+        # the kernel are zero (spilled pairs get grads from the XLA
+        # cleanup path instead)
+        gpair_ref[0] = jnp.concatenate(
+            [g_u * gate, g_v * gate, jnp.zeros((s, 2), jnp.float32),
+             jnp.concatenate(gw_parts, axis=1) * gate,
+             jnp.zeros((s, 12), jnp.float32)], axis=1)
 
 
-def deformable_fused_fwd(feats, uvq, weights, starts, *,
+def deformable_fused_fwd(feats, pairdat, starts, *,
                          shapes, wx, num_pts: int, a_chunk: int,
                          interpret: bool = False):
     """Forward kernel call.
 
     feats:   4 arrays [cams, H_l, W_l, C] bf16 (HBM-resident).
-    uvq:     [nchunks, S, 8] f32 (cols 0-1 = normalized u, v).
-    weights: [nchunks, S, 16] f32 (col l*4+g).
+    pairdat: [nchunks, S, 32] f32 packed pair rows — col 0 = u, 1 = v,
+             2 = inside flag (unused in-kernel), 4:20 = the 16 UNGATED
+             level x group attention weights; the strict-inside and
+             window-spill gates are recomputed in-kernel (`_pair_gate`).
     starts:  [nchunks, 8] int32 (cam, valid, xs_l0, xs_l1, 0...).
 
     Returns [nchunks, a_chunk, C] f32 per-anchor aggregated features.
@@ -334,7 +363,7 @@ def deformable_fused_fwd(feats, uvq, weights, starts, *,
     nchunks = starts.shape[0]
     cpc = nchunks // cams
     s = a_chunk * num_pts
-    assert uvq.shape == (nchunks, s, 8), (uvq.shape, nchunks, s)
+    assert pairdat.shape == (nchunks, s, 32), (pairdat.shape, nchunks, s)
 
     consts = []
     for l, (h, w) in enumerate(shapes):
@@ -350,10 +379,7 @@ def deformable_fused_fwd(feats, uvq, weights, starts, *,
         num_scalar_prefetch=1,
         grid=(cams, cpc),
         in_specs=[
-            pl.BlockSpec((1, s, 8),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 16),
+            pl.BlockSpec((1, s, 32),
                          lambda cam, j, *_: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # f0
@@ -378,15 +404,16 @@ def deformable_fused_fwd(feats, uvq, weights, starts, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(starts, uvq, weights, *feats, *consts, gexp, red)
+    )(starts, pairdat, *feats, *consts, gexp, red)
 
 
-def deformable_fused_bwd(feats, uvq, weights, starts, g_out, *,
+def deformable_fused_bwd(feats, pairdat, starts, g_out, *,
                          shapes, wx, num_pts: int, a_chunk: int,
                          interpret: bool = False):
     """Backward kernel call. g_out: [nchunks, a_chunk, C] f32.
 
-    Returns (g_feats tuple f32, g_uvq [nchunks, S, 8], g_w [nchunks, S, 16]).
+    Returns (g_feats tuple f32, g_pair [nchunks, S, 32] — grads in the
+    pairdat column layout: 0 = u, 1 = v, 4:20 = weights, rest zero).
     """
     cams = feats[0].shape[0]
     c_dim = feats[0].shape[-1]
@@ -408,10 +435,7 @@ def deformable_fused_bwd(feats, uvq, weights, starts, g_out, *,
         num_scalar_prefetch=1,
         grid=(cams, cpc),
         in_specs=[
-            pl.BlockSpec((1, s, 8),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 16),
+            pl.BlockSpec((1, s, 32),
                          lambda cam, j, *_: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, a_chunk, c_dim),
@@ -423,10 +447,7 @@ def deformable_fused_bwd(feats, uvq, weights, starts, g_out, *,
             pl.BlockSpec(memory_space=pl.ANY),     # f3
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=[
-            pl.BlockSpec((1, s, 8),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 16),
+            pl.BlockSpec((1, s, 32),
                          lambda cam, j, *_: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
@@ -440,12 +461,11 @@ def deformable_fused_bwd(feats, uvq, weights, starts, g_out, *,
             for l in range(4)
         ] + [pltpu.SemaphoreType.DMA((4,))],
     )
-    g_uvq, g_w, g_f0, g_f1, g_f2, g_f3 = pl.pallas_call(
+    g_pair, g_f0, g_f1, g_f2, g_f3 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nchunks, s, 8), jnp.float32),
-            jax.ShapeDtypeStruct((nchunks, s, 16), jnp.float32),
+            jax.ShapeDtypeStruct((nchunks, s, 32), jnp.float32),
         ] + [
             jax.ShapeDtypeStruct(feats[l].shape, jnp.float32)
             for l in range(4)
@@ -453,5 +473,5 @@ def deformable_fused_bwd(feats, uvq, weights, starts, g_out, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(starts, uvq, weights, g_out, *feats, *consts, gexp, red)
-    return (g_f0, g_f1, g_f2, g_f3), g_uvq, g_w
+    )(starts, pairdat, g_out, *feats, *consts, gexp, red)
+    return (g_f0, g_f1, g_f2, g_f3), g_pair
