@@ -8,6 +8,13 @@ huang-yh/GaussianFormer — vision-based occupancy via iteratively refined
 
 __version__ = "0.1.0"
 
+# Must run before the XLA backend initializes (first device use): disable
+# the space-to-batch conv rewrite, whose tile relayouts cost the flagship
+# forward ~13 ms/frame on TPU (see utils/xla_flags.py).
+from .utils.xla_flags import apply_perf_flags as _apply_perf_flags
+
+_apply_perf_flags()
+
 import jax as _jax
 
 # jax 0.9.0's direct-linearize autodiff path (default on) leaks
