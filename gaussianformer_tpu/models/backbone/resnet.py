@@ -33,6 +33,42 @@ ARCH_SETTINGS = {
 }
 
 
+class StemConv(nn.Module):
+    """The ResNet stem (7x7, stride 2, pad 3, no bias) computed on a
+    2x2 space-to-depth input.
+
+    A direct C_in=3 conv runs at ~6 TF/s on TPU (the MXU contraction is
+    3/128 occupied); re-indexing to a 4x4 stride-1 conv over 12-channel
+    2x2-blocked input is bit-identical math at 4x the contraction depth
+    and ~1/4 the taps. The parameter keeps the reference [7,7,3,F]
+    layout (checkpoint-compatible with nn.Conv's {kernel}):
+    out[y] = sum_ky in[2y+ky-3] W[ky] with ky = 2A+dy-1, A in 0..3,
+    dy in {0,1}, so W2[A,B,(dy,dx,c)] = Wpad[2A+dy, 2B+dx, c] and the
+    sliding window runs over s2d rows y-2..y+1 (asym padding (2,1))."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c, self.features))
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = wp.reshape(4, 2, 4, 2, c, self.features).transpose(
+            0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), w2.astype(self.dtype), (1, 1),
+            [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class FrozenBatchNorm(nn.Module):
     """BN evaluated with stored running statistics."""
     features: int
@@ -238,8 +274,8 @@ class ResNet(nn.Module):
             # per-block `with_cp` — fits grad training in 16GB HBM)
             stage_cls = nn.remat(ResNetStage)
 
-        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(self.base_channels, dtype=self.dtype,
+                     name="conv1")(x)
         x = FrozenBatchNorm(self.base_channels, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

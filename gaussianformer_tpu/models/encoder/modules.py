@@ -12,6 +12,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.safe_ops import safe_sigmoid
 from ...ops.coords import cartesian, reverse_cartesian, spherical_to_cartesian
@@ -105,16 +106,22 @@ class SparseGaussian3DKeyPointsGenerator(nn.Module):
         return len(self.fix_scale) + self.num_learnable_pts
 
     @nn.compact
-    def __call__(self, anchor, instance_feature=None):
+    def __call__(self, anchor, instance_feature=None, learn_only=False):
         b, p = anchor.shape[:2]
         fix = jnp.asarray(self.fix_scale, jnp.float32)
         scale = jnp.broadcast_to(fix[None, None],
                                  (b, p, fix.shape[0], 3))
+        learn_raw = None
         if self.num_learnable_pts > 0 and instance_feature is not None:
-            learn = nn.Dense(self.num_learnable_pts * 3,
-                             name="learnable_fc")(instance_feature)
+            learn_raw = nn.Dense(self.num_learnable_pts * 3,
+                                 name="learnable_fc")(instance_feature)
+        if learn_only:
+            # SoA fast path (keypoints_projection_soa) consumes the raw
+            # Dense output; only the params need creating here
+            return learn_raw
+        if learn_raw is not None:
             learn = safe_sigmoid(
-                learn.reshape(b, p, self.num_learnable_pts, 3)) - 0.5
+                learn_raw.reshape(b, p, self.num_learnable_pts, 3)) - 0.5
             scale = jnp.concatenate(
                 [scale, learn * self.learnable_fixed_scale], axis=-2)
 
@@ -133,6 +140,105 @@ class SparseGaussian3DKeyPointsGenerator(nn.Module):
         else:
             xyz = cartesian(anchor[..., :3], self.pc_range)
         return key_points + xyz[:, :, None, :]
+
+
+def keypoints_projection_soa(anchor, learn, fix_scale, learnable_fixed_scale,
+                             scale_range, pc_range, projection_mat,
+                             image_wh):
+    """Key-point generation + camera projection in structure-of-arrays
+    form: coordinates are carried as [B, K, P] planes (P on lanes)
+    instead of [B, P, K, 3] — the AoS form's minor-3 rotation matrices
+    and projection einsums each lower to tile-padded relayouts costing
+    ~9 ms/frame at flagship size, while this SoA chain is a handful of
+    full-lane elementwise fusions. Same math as
+    SparseGaussian3DKeyPointsGenerator + project_points (cartesian path;
+    reference deformable_module.py:18-90, :287-305).
+
+    anchor: [B, P, 11+]; learn: [B, P, num_learnable*3] raw Dense output
+    (or None); projection_mat [B, C, 4, 4]; image_wh [B, C, 2].
+    Returns (u, v, mask) each [B, C, P, K] (normalized coords).
+    """
+    b, p = anchor.shape[:2]
+    nf = len(fix_scale)
+
+    # unit-quaternion rotation entries as [B, 1, P] planes
+    qw, qx, qy, qz = (anchor[..., 6], anchor[..., 7],
+                      anchor[..., 8], anchor[..., 9])
+    qn = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qs = 1.0 / jnp.maximum(qn, 1e-12)
+    qw, qx, qy, qz = qw * qs, qx * qs, qy * qs, qz * qs
+    ww, xx, yy, zz = qw * qw, qx * qx, qy * qy, qz * qz
+    wx_, wy_, wz_ = qw * qx, qw * qy, qw * qz
+    xy_, xz_, yz_ = qx * qy, qx * qz, qy * qz
+    r = {
+        (0, 0): ww + xx - yy - zz, (0, 1): 2 * (xy_ - wz_),
+        (0, 2): 2 * (xz_ + wy_),
+        (1, 0): 2 * (xy_ + wz_), (1, 1): ww - xx + yy - zz,
+        (1, 2): 2 * (yz_ - wx_),
+        (2, 0): 2 * (xz_ - wy_), (2, 1): 2 * (yz_ + wx_),
+        (2, 2): ww - xx - yy + zz,
+    }
+    r = {k: v[:, None, :] for k, v in r.items()}
+
+    # per-axis gaussian scales [B, 1, P]
+    lo3 = jnp.asarray(pc_range[:3], jnp.float32)
+    hi3 = jnp.asarray(pc_range[3:6], jnp.float32)
+    s_ax = []
+    x_ax = []
+    for ax in range(3):
+        s = safe_sigmoid(anchor[..., 3 + ax])
+        s_ax.append((scale_range[0]
+                     + (scale_range[1] - scale_range[0]) * s)[:, None, :])
+        x_ax.append((safe_sigmoid(anchor[..., ax])
+                     * (hi3[ax] - lo3[ax]) + lo3[ax])[:, None, :])
+
+    # offsets [B, K, P] per axis: fixed rows are constants, learnable
+    # rows come from the Dense output
+    fix = np.asarray(fix_scale, np.float32)      # [nf, 3]
+    offs = []
+    for ax in range(3):
+        o_fix = jnp.broadcast_to(
+            jnp.asarray(fix[:, ax])[None, :, None], (b, nf, p))
+        if learn is not None:
+            o_l = (safe_sigmoid(learn[..., ax::3]) - 0.5) \
+                * learnable_fixed_scale            # [B, P, nl]
+            o_l = jnp.swapaxes(o_l, 1, 2)          # [B, nl, P]
+            offs.append(jnp.concatenate([o_fix, o_l], axis=1))
+        else:
+            offs.append(o_fix)
+
+    v0 = offs[0] * s_ax[0]
+    v1 = offs[1] * s_ax[1]
+    v2 = offs[2] * s_ax[2]
+    # world key points: R^T v + xyz, [B, K, P]
+    kx = r[(0, 0)] * v0 + r[(1, 0)] * v1 + r[(2, 0)] * v2 + x_ax[0]
+    ky = r[(0, 1)] * v0 + r[(1, 1)] * v1 + r[(2, 1)] * v2 + x_ax[1]
+    kz = r[(0, 2)] * v0 + r[(1, 2)] * v1 + r[(2, 2)] * v2 + x_ax[2]
+    # materialize: without the barrier XLA re-fuses this whole chain —
+    # including the strided learnable-offset slices, which it lowers as
+    # gathers — into each of the ~100 downstream per-plane fusions
+    # (~9 ms/frame of recomputation at flagship size)
+    kx, ky, kz = jax.lax.optimization_barrier((kx, ky, kz))
+
+    # projection, vectorized over cams: [B, C, 1, 1] x [B, 1, K, P]
+    def pm(i, j):
+        return projection_mat[:, :, i, j][..., None, None]
+
+    kx, ky, kz = kx[:, None], ky[:, None], kz[:, None]
+    xh = pm(0, 0) * kx + pm(0, 1) * ky + pm(0, 2) * kz + pm(0, 3)
+    yh = pm(1, 0) * kx + pm(1, 1) * ky + pm(1, 2) * kz + pm(1, 3)
+    depth = pm(2, 0) * kx + pm(2, 1) * ky + pm(2, 2) * kz + pm(2, 3)
+    d = jnp.maximum(depth, 1e-5)
+    u = xh / d / image_wh[:, :, 0][..., None, None]
+    v = yh / d / image_wh[:, :, 1][..., None, None]
+    mask = ((depth > 1e-5)
+            & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0))
+    # [B, C, K, P] → [B, C, P, K] (single relayout each); barrier so the
+    # projection chain is computed once, not re-fused into every
+    # consumer of u/v/mask
+    to_pk = lambda a: jnp.swapaxes(a, 2, 3)
+    return jax.lax.optimization_barrier(
+        (to_pk(u), to_pk(v), to_pk(mask)))
 
 
 def project_points(key_points, projection_mat, image_wh):
@@ -193,7 +299,16 @@ class DeformableFeatureAggregation(nn.Module):
             scale_range=self.scale_range,
             name="kps_generator")
         num_pts = kps_gen.num_pts
-        key_points = kps_gen(anchor, instance_feature)
+        if self.backend == "fused":
+            # SoA keypoints+projection (lane-major [B, K, P] planes; the
+            # AoS minor-3 rotation/projection ops cost ~9 ms/frame)
+            learn_raw = kps_gen(anchor, instance_feature, learn_only=True)
+            u_pk, v_pk, vis_mask = keypoints_projection_soa(
+                anchor, learn_raw, self.fix_scale,
+                self.learnable_fixed_scale, self.scale_range,
+                self.pc_range, projection_mat, image_wh)
+        else:
+            key_points = kps_gen(anchor, instance_feature)
 
         # ---- attention weights (reference _get_weights :249-282)
         feature = instance_feature + anchor_embed
@@ -219,8 +334,9 @@ class DeformableFeatureAggregation(nn.Module):
                 b, p, self.num_cams, self.num_levels, num_pts,
                 self.num_groups)
 
-        points_2d, vis_mask = project_points(
-            key_points, projection_mat, image_wh)
+        if self.backend != "fused":
+            points_2d, vis_mask = project_points(
+                key_points, projection_mat, image_wh)
 
         if self.backend == "fused":
             # CAM-MAJOR pipeline: projection ([B, cams, P, pts, 2]), vis
@@ -246,7 +362,8 @@ class DeformableFeatureAggregation(nn.Module):
             e = jnp.exp(w - m)
             s = jnp.sum(e, axis=(1, 3, 4), keepdims=True)
             w_soft = jnp.where(miss_b, 0.0, e / s)
-            loc_cm = points_2d.reshape(b, self.num_cams, p * num_pts, 2)
+            loc_cm = (u_pk.reshape(b, self.num_cams, p * num_pts),
+                      v_pk.reshape(b, self.num_cams, p * num_pts))
             w_flat_cm = w_soft.reshape(
                 b, self.num_cams, p * num_pts,
                 self.num_levels * self.num_groups)

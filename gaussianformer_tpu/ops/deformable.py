@@ -294,10 +294,12 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
 
     feature_maps: raw per-level list ([B, cams, H_l, W_l, C] each) or a
     :func:`prepack_feature_maps_cm` result.
-    points_cm:  [B, cams, Q, 2]; weights_cm: [B, cams, Q, L*G] — the
-    layouts the projection and the per-camera chunking naturally use, so
-    the wrapper does no [Q, cams] ↔ [cams, Q] transposes (measured
-    ~2.5 ms/call of pure data movement at flagship size).
+    points_cm:  [B, cams, Q, 2], or an SoA tuple (u, v) each
+    [B, cams, Q] (preferred on TPU — avoids materializing a minor-dim-2
+    array); weights_cm: [B, cams, Q, L*G] — the layouts the projection
+    and the per-camera chunking naturally use, so the wrapper does no
+    [Q, cams] ↔ [cams, Q] transposes (measured ~2.5 ms/call of pure
+    data movement at flagship size).
     """
     from .pallas.deformable_kernel import (deformable_fused_fwd,
                                            deformable_fused_bwd)
@@ -312,15 +314,19 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
     c_dim = padded[0].shape[-1]
     wx = _window_widths(shapes)
     a_chunk = _fused_chunk_geometry(num_pts)
-    q = points_cm.shape[2]
+    if isinstance(points_cm, tuple):
+        u_all, v_all = points_cm
+    else:
+        u_all, v_all = points_cm[..., 0], points_cm[..., 1]
+    q = u_all.shape[2]
     p = q // num_pts
 
     outs = []
     for bi in range(b):
         feats = tuple(f[bi] for f in padded)
         outs.append(_fused_single(
-            feats, points_cm[bi], weights_cm[bi], shapes, wx, num_pts,
-            a_chunk, p, cams, c_dim, spill_budget,
+            feats, (u_all[bi], v_all[bi]), weights_cm[bi], shapes, wx,
+            num_pts, a_chunk, p, cams, c_dim, spill_budget,
             deformable_fused_fwd, deformable_fused_bwd, interpret))
     return jnp.stack(outs)
 
@@ -328,16 +334,14 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
 def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
                   a_chunk, p, cams, c_dim, spill_budget, fwd_fn, bwd_fn,
                   interpret):
-    """One batch element. points_cm [cams, Q, 2]; weights_cm
+    """One batch element. points_cm: (u, v) each [cams, Q]; weights_cm
     [cams, Q, L*G]."""
-    q = points_cm.shape[1]
+    u, v = points_cm                              # [cams, Q] each
+    q = u.shape[1]
     p_pad = -(-p // a_chunk) * a_chunk
     qp = p_pad * num_pts
     nchunk = p_pad // a_chunk
     s_len = a_chunk * num_pts
-
-    u = points_cm[..., 0]                         # [cams, Q]
-    v = points_cm[..., 1]
     inside = ((u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0))
     h0, w0 = shapes[0]
     x0_l0 = jnp.floor(u * w0 - 0.5).astype(jnp.int32)
@@ -360,6 +364,11 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
                     jnp.zeros_like(u)], axis=-1), weights_cm], axis=-1)
     packed = jnp.pad(packed.reshape(cams, p, num_pts * 20),
                      ((0, 0), (0, p_pad - p), (0, 0)))
+    # materialize before gathering: without the barrier XLA fuses the
+    # interleave chain above INTO the gather's fused computation and
+    # re-evaluates it per gathered element (~9 ms/frame vs 0.33 ms for
+    # the plain row gather at flagship size)
+    packed = jax.lax.optimization_barrier(packed)
     # padded anchors carry u = 0 → outside, inside-flag col = 0
     packed_s = jnp.take_along_axis(
         packed, order[..., None], axis=1).reshape(cams, qp, 20)

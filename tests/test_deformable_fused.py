@@ -93,3 +93,44 @@ def test_fused_grads_match_xla():
                                rtol=5e-2, atol=5e-1)
     np.testing.assert_allclose(np.asarray(g_fus[2]), np.asarray(g_ref[2]),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_keypoints_projection_soa_matches_aos():
+    """The SoA keypoints+projection fast path (modules.py) must match the
+    AoS generator + project_points bit-for-bit-ish (same math, different
+    op order)."""
+    from gaussianformer_tpu.models.encoder.modules import (
+        SparseGaussian3DKeyPointsGenerator, project_points,
+        keypoints_projection_soa)
+
+    rng = np.random.RandomState(3)
+    b, p, cams, nl = 1, 40, 3, 2
+    fix_scale = ((0.0, 0.0, 0.0), (0.5, 0.0, 0.0), (0.0, -0.5, 0.0))
+    anchor = jnp.asarray(rng.randn(b, p, 11) * 1.5, jnp.float32)
+    feat = jnp.asarray(rng.randn(b, p, 16), jnp.float32)
+    projection_mat = jnp.asarray(
+        rng.randn(b, cams, 4, 4) * np.asarray(
+            [200.0, 200.0, 1.0, 30.0])[None, None, :, None],
+        jnp.float32)
+    image_wh = jnp.asarray(
+        np.tile(np.asarray([640.0, 480.0]), (b, cams, 1)), jnp.float32)
+    pc_range = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    scale_range = (0.01, 3.2)
+
+    gen = SparseGaussian3DKeyPointsGenerator(
+        embed_dims=16, num_learnable_pts=nl, learnable_fixed_scale=2.0,
+        fix_scale=fix_scale, pc_range=pc_range, scale_range=scale_range)
+    params = gen.init(jax.random.PRNGKey(0), anchor, feat)
+    kp = gen.apply(params, anchor, feat)
+    uv, mask = project_points(kp, projection_mat, image_wh)
+
+    learn_raw = gen.apply(params, anchor, feat, learn_only=True)
+    u2, v2, mask2 = keypoints_projection_soa(
+        anchor, learn_raw, fix_scale, 2.0, scale_range, pc_range,
+        projection_mat, image_wh)
+
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(uv[..., 0]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(uv[..., 1]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(mask2), np.asarray(mask))

@@ -277,3 +277,23 @@ def test_caffe_bottleneck_golden():
             "downsample_bn")
     want = relu(y + sc)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_stem_conv_space_to_depth_equivalence():
+    """StemConv's 2x2 space-to-depth re-indexing must match the plain
+    7x7/2 pad-3 convolution exactly (same params, f32)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from gaussianformer_tpu.models.backbone.resnet import StemConv
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 36, 44, 3), jnp.float32)
+    mod = StemConv(8)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    got = mod.apply(params, x)
+    ref = jax.lax.conv_general_dilated(
+        x, params["params"]["kernel"], (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
