@@ -233,12 +233,13 @@ def keypoints_projection_soa(anchor, learn, fix_scale, learnable_fixed_scale,
     v = yh / d / image_wh[:, :, 1][..., None, None]
     mask = ((depth > 1e-5)
             & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0))
-    # [B, C, K, P] → [B, C, P, K] (single relayout each); barrier so the
-    # projection chain is computed once, not re-fused into every
-    # consumer of u/v/mask
+    # u/v → [B, C, P, K] (one relayout each — the loc order the kernel
+    # chunking needs); mask stays K-major [B, C, K, P] so the P-minor
+    # softmax consumes it with no transpose. Barrier so the projection
+    # chain is computed once, not re-fused into every consumer.
     to_pk = lambda a: jnp.swapaxes(a, 2, 3)
     return jax.lax.optimization_barrier(
-        (to_pk(u), to_pk(v), to_pk(mask)))
+        (to_pk(u), to_pk(v), mask))
 
 
 def project_points(key_points, projection_mat, image_wh):
@@ -303,7 +304,7 @@ class DeformableFeatureAggregation(nn.Module):
             # SoA keypoints+projection (lane-major [B, K, P] planes; the
             # AoS minor-3 rotation/projection ops cost ~9 ms/frame)
             learn_raw = kps_gen(anchor, instance_feature, learn_only=True)
-            u_pk, v_pk, vis_mask = keypoints_projection_soa(
+            u_pk, v_pk, vis_kp = keypoints_projection_soa(
                 anchor, learn_raw, self.fix_scale,
                 self.learnable_fixed_scale, self.scale_range,
                 self.pc_range, projection_mat, image_wh)
@@ -339,32 +340,37 @@ class DeformableFeatureAggregation(nn.Module):
                 key_points, projection_mat, image_wh)
 
         if self.backend == "fused":
-            # CAM-MAJOR pipeline: projection ([B, cams, P, pts, 2]), vis
-            # mask and the per-camera kernel chunking all natively use
-            # cams-major layouts — one weights transpose here replaces
-            # the [Q, cams] ↔ [cams, Q] round trips of the generic path
-            # (~2.5 ms/call of pure data movement at flagship size).
-            w_cm = jnp.transpose(weights, (0, 2, 1, 4, 3, 5))
-            # [B, cams, P, pts, lvls, G]
+            # CAM-MAJOR, P-MINOR pipeline: the masked softmax over
+            # (cams, pts, lvls) per (b, p, group) runs entirely on
+            # [B, C, L, K, G, P] planes (P on lanes) — the AoS
+            # [B, C, P, K, L, G] form's minor-dim-4 exp/divide/reduce
+            # passes each cost a 32x tile-padded rewrite. One transpose
+            # in (weights → P-minor) and one out (w_soft → per-pair
+            # rows) bracket the chain; same semantics as the generic
+            # path below.
+            w6 = jnp.transpose(
+                weights.reshape(b, p, self.num_cams, -1),
+                (0, 2, 3, 1)).reshape(
+                b, self.num_cams, self.num_levels, num_pts,
+                self.num_groups, p)
             if self.attn_drop > 0 and not deterministic:
                 rng = self.make_rng("dropout")
-                keep = jax.random.uniform(rng, w_cm.shape) > self.attn_drop
+                keep = jax.random.uniform(rng, w6.shape) > self.attn_drop
             else:
-                keep = jnp.ones(w_cm.shape, bool)
-            mask = vis_mask[..., None, None] & keep
-            all_miss = jnp.sum(mask, axis=(1, 3, 4), keepdims=True) == 0
+                keep = jnp.ones(w6.shape, bool)
+            mask = vis_kp[:, :, None, :, None, :] & keep
+            all_miss = jnp.sum(mask, axis=(1, 2, 3), keepdims=True) == 0
             miss_b = jnp.broadcast_to(all_miss, mask.shape)
-            # masked softmax over (cams, pts, lvls) per (b, p, group),
-            # same semantics as the generic path below
-            w = jnp.where(mask, w_cm, -jnp.inf)
+            w = jnp.where(mask, w6, -jnp.inf)
             w = jnp.where(miss_b, 0.0, w)
-            m = jnp.max(w, axis=(1, 3, 4), keepdims=True)
+            m = jnp.max(w, axis=(1, 2, 3), keepdims=True)
             e = jnp.exp(w - m)
-            s = jnp.sum(e, axis=(1, 3, 4), keepdims=True)
-            w_soft = jnp.where(miss_b, 0.0, e / s)
+            s = jnp.sum(e, axis=(1, 2, 3), keepdims=True)
+            w_soft = jnp.where(miss_b, 0.0, e / s)   # [B,C,L,K,G,P]
             loc_cm = (u_pk.reshape(b, self.num_cams, p * num_pts),
                       v_pk.reshape(b, self.num_cams, p * num_pts))
-            w_flat_cm = w_soft.reshape(
+            w_flat_cm = jnp.transpose(
+                w_soft, (0, 1, 5, 3, 2, 4)).reshape(
                 b, self.num_cams, p * num_pts,
                 self.num_levels * self.num_groups)
             from ...ops.deformable import deformable_aggregation_fused_cm

@@ -359,10 +359,13 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     # row-descriptor-bound, so gathering [cams, p_pad] rows of
     # num_pts*20 floats costs ~num_pts times less than the same bytes
     # as pair rows (measured 2.9 -> 0.7 ms per call at flagship size)
+    # 32 columns per pair from the start — the gathered table doubles
+    # as the kernel's pairdat block with no separate pad/slice rewrite
     packed = jnp.concatenate(
         [jnp.stack([u, v, inside.astype(u.dtype),
-                    jnp.zeros_like(u)], axis=-1), weights_cm], axis=-1)
-    packed = jnp.pad(packed.reshape(cams, p, num_pts * 20),
+                    jnp.zeros_like(u)], axis=-1), weights_cm,
+         jnp.zeros(u.shape + (12,), u.dtype)], axis=-1)
+    packed = jnp.pad(packed.reshape(cams, p, num_pts * 32),
                      ((0, 0), (0, p_pad - p), (0, 0)))
     # materialize before gathering: without the barrier XLA fuses the
     # interleave chain above INTO the gather's fused computation and
@@ -371,11 +374,10 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     packed = jax.lax.optimization_barrier(packed)
     # padded anchors carry u = 0 → outside, inside-flag col = 0
     packed_s = jnp.take_along_axis(
-        packed, order[..., None], axis=1).reshape(cams, qp, 20)
+        packed, order[..., None], axis=1).reshape(cams, qp, 32)
     u_s = packed_s[..., 0]
     v_s = packed_s[..., 1]
     ins_s = packed_s[..., 2] > 0.5
-    w_s = packed_s[..., 4:]
 
     # per-chunk window starts + spill detection for the windowed levels
     spill = jnp.zeros_like(ins_s)
@@ -412,8 +414,7 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
         + [jnp.zeros_like(cam_ids)] * 4, axis=-1).reshape(
         cams * nchunk, 8)
 
-    pairdat = jnp.pad(packed_s, ((0, 0), (0, 0), (0, 12))).reshape(
-        cams * nchunk, s_len, 32)
+    pairdat = packed_s.reshape(cams * nchunk, s_len, 32)
 
     @jax.custom_vjp
     def op(feats, pairdat):
@@ -447,12 +448,12 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     # exact spill cleanup: compact spilled pairs to a static budget and
     # recompute their contribution with the reference bilinear gather
     out = out + _spill_cleanup(
-        feats, u_s, v_s, w_s, spill, pair_perm, shapes, num_pts, p,
+        feats, packed_s, spill, pair_perm, shapes, num_pts, p,
         c_dim, cams, qp, spill_budget)
     return out
 
 
-def _spill_cleanup(feats, u_s, v_s, w_s, spill, pair_perm, shapes,
+def _spill_cleanup(feats, packed_s, spill, pair_perm, shapes,
                    num_pts, p, c_dim, cams, qp, budget):
     """Exact contribution of window-spilled pairs, scatter-added at the
     anchor level (bilinear math identical to the reference kernel)."""
@@ -482,9 +483,11 @@ def _spill_cleanup(feats, u_s, v_s, w_s, spill, pair_perm, shapes,
     used = (jnp.arange(budget) < jnp.minimum(n_spill, budget))
 
     flat_idx = buf[:budget]
-    su = u_s.reshape(-1)[flat_idx]
-    sv = v_s.reshape(-1)[flat_idx]
-    sw = w_s.reshape(-1, 16)[flat_idx]
+    # one row gather from the 32-col pair table (u, v, -, -, w16, pad)
+    rows = packed_s.reshape(-1, packed_s.shape[-1])[flat_idx]
+    su = rows[:, 0]
+    sv = rows[:, 1]
+    sw = rows[:, 4:20]
     cam_of = (flat_idx // qp).astype(jnp.int32)
 
     contrib = jnp.zeros((budget, c_dim), jnp.float32)

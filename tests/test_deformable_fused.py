@@ -133,4 +133,48 @@ def test_keypoints_projection_soa_matches_aos():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(uv[..., 1]),
                                rtol=2e-5, atol=2e-6)
-    np.testing.assert_array_equal(np.asarray(mask2), np.asarray(mask))
+    # mask comes back K-major [B, C, K, P] for the P-minor softmax
+    np.testing.assert_array_equal(
+        np.asarray(jnp.swapaxes(mask2, 2, 3)), np.asarray(mask))
+
+
+def test_pminor_softmax_matches_generic():
+    """The fused branch's P-minor masked softmax must equal the generic
+    path's (pts, cams, lvls)-softmax on the same logits + vis mask."""
+    rng = np.random.RandomState(7)
+    b, p, cams, L, K, G = 1, 10, 3, 4, 5, 4
+    weights = jnp.asarray(rng.randn(b, p, cams, L, K, G), jnp.float32)
+    vis = jnp.asarray(rng.rand(b, cams, p, K) > 0.3)       # [B,C,P,K]
+    # one anchor missing from every camera → uniform-zero row
+    vis = vis.at[:, :, 3].set(False)
+
+    # generic-path formula (modules.py else-branch): [B,P,K,C,L,G]
+    w_g = jnp.transpose(weights, (0, 1, 4, 2, 3, 5))
+    vis_g = jnp.transpose(vis, (0, 2, 3, 1))               # [B,P,K,C]
+    mask = vis_g[..., None, None] & jnp.ones(w_g.shape, bool)
+    all_miss = jnp.sum(mask, axis=(2, 3, 4), keepdims=True) == 0
+    miss_b = jnp.broadcast_to(all_miss, mask.shape)
+    w = jnp.where(mask, w_g, -jnp.inf)
+    w = jnp.where(miss_b, 0.0, w)
+    w_flat = w.reshape(b, p, K * cams * L, G)
+    w_soft = jax.nn.softmax(w_flat, axis=-2)
+    w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
+    want = w_soft.reshape(b, p, K, cams, L, G)
+
+    # P-minor formula (fused branch)
+    vis_kp = jnp.transpose(vis, (0, 1, 3, 2))              # [B,C,K,P]
+    w6 = jnp.transpose(weights.reshape(b, p, cams, -1),
+                       (0, 2, 3, 1)).reshape(b, cams, L, K, G, p)
+    mask6 = vis_kp[:, :, None, :, None, :] & jnp.ones(w6.shape, bool)
+    am = jnp.sum(mask6, axis=(1, 2, 3), keepdims=True) == 0
+    mb = jnp.broadcast_to(am, mask6.shape)
+    w2 = jnp.where(mask6, w6, -jnp.inf)
+    w2 = jnp.where(mb, 0.0, w2)
+    m = jnp.max(w2, axis=(1, 2, 3), keepdims=True)
+    e = jnp.exp(w2 - m)
+    s = jnp.sum(e, axis=(1, 2, 3), keepdims=True)
+    got6 = jnp.where(mb, 0.0, e / s)                       # [B,C,L,K,G,P]
+    got = jnp.transpose(got6, (0, 5, 3, 1, 2, 4))          # [B,P,K,C,L,G]
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-7)
