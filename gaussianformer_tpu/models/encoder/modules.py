@@ -280,6 +280,8 @@ class DeformableFeatureAggregation(nn.Module):
     use_camera_embed: bool = True
     residual_mode: str = "add"
     backend: str = "xla"
+    interpret: bool = False     # run the fused Pallas kernel in
+                                # interpreter mode (CPU tests)
     # key-points generator config
     num_learnable_pts: int = 6
     learnable_fixed_scale: float = 1.0
@@ -376,7 +378,8 @@ class DeformableFeatureAggregation(nn.Module):
             from ...ops.deformable import deformable_aggregation_fused_cm
             # key-point reduction is fused into the kernel → [b, p, C]
             features = deformable_aggregation_fused_cm(
-                feature_maps, loc_cm, w_flat_cm, self.num_groups, num_pts)
+                feature_maps, loc_cm, w_flat_cm, self.num_groups, num_pts,
+                interpret=self.interpret)
         else:
             if self.attn_drop > 0 and not deterministic:
                 rng = self.make_rng("dropout")

@@ -178,3 +178,40 @@ def test_pminor_softmax_matches_generic():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-7)
+
+
+def test_module_fused_branch_matches_generic():
+    """End-to-end DeformableFeatureAggregation: the fused branch (SoA
+    keypoints/projection + P-minor softmax + pair-table kernel, run in
+    interpret mode) must match the generic XLA branch."""
+    from gaussianformer_tpu.models.encoder.modules import (
+        DeformableFeatureAggregation)
+    from gaussianformer_tpu.ops.deformable import pack_feature_maps
+
+    rng = np.random.RandomState(5)
+    b, p, cams, C = 1, 24, 2, 32
+    shapes = ((12, 48), (6, 24), (3, 12), (2, 6))
+    feats = [jnp.asarray(rng.randn(b, cams, h, w, C), jnp.float32)
+             for (h, w) in shapes]
+    inst = jnp.asarray(rng.randn(b, p, C), jnp.float32)
+    anchor = jnp.asarray(rng.randn(b, p, 11 + 4) * 1.2, jnp.float32)
+    embed = jnp.asarray(rng.randn(b, p, C), jnp.float32)
+    proj = jnp.asarray(
+        rng.randn(b, cams, 4, 4) * np.asarray(
+            [20.0, 20.0, 1.0, 5.0])[None, None, :, None], jnp.float32)
+    wh = jnp.asarray(np.tile([48.0, 12.0], (b, cams, 1)), jnp.float32)
+
+    kw = dict(embed_dims=C, num_cams=cams, num_levels=4, num_groups=4,
+              num_learnable_pts=2, fix_scale=((0., 0., 0.),
+                                              (0.5, 0., 0.)))
+    mod_f = DeformableFeatureAggregation(backend="fused", interpret=True,
+                                         **kw)
+    mod_g = DeformableFeatureAggregation(backend="xla", **kw)
+    params = mod_f.init(jax.random.PRNGKey(0), inst, anchor, embed,
+                        feats, proj, wh)
+    got = mod_f.apply(params, inst, anchor, embed, feats, proj, wh)
+    want = mod_g.apply(params, inst, anchor, embed,
+                       pack_feature_maps(feats), proj, wh)
+    # kernel samples in bf16 (same tolerance as the op-level tests)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
