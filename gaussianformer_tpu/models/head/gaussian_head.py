@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.covariance import build_covariance_inverse
+from ...ops.covariance import build_covariance_inverse6
 from ...ops.splat import SplatGridSpec, splat
 from ..encoder.modules import GaussianPrediction
 
@@ -84,7 +84,7 @@ class GaussianHead(nn.Module):
                 opacities = jnp.concatenate(
                     [opacities, jnp.zeros_like(opacities[..., :1])], axis=-1)
 
-        cov_inv6 = build_covariance_inverse(scales, rotations, compact=True)
+        cov_inv6 = build_covariance_inverse6(scales, rotations)
         return means, origi_opa[..., 0], opacities, scales, cov_inv6
 
     @nn.compact

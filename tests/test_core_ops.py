@@ -78,3 +78,19 @@ def test_cartesian_roundtrip():
     assert xyz[..., 2].min() >= -5.0 and xyz[..., 2].max() <= 3.0
     back = reverse_cartesian(xyz, pc_range)
     np.testing.assert_allclose(back, np.clip(anchor, -9.2, 9.2), atol=1e-3)
+
+
+def test_covariance_inverse6_matches_matrix_path():
+    """Component-wise compact-6 inverse covariance == the [...,3,3]
+    adjugate path."""
+    import jax.numpy as jnp
+    from gaussianformer_tpu.ops.covariance import (
+        build_covariance_inverse, build_covariance_inverse6)
+
+    rng = np.random.RandomState(2)
+    scales = jnp.asarray(rng.rand(2, 33, 3) * 2 + 0.05, jnp.float32)
+    quats = jnp.asarray(rng.randn(2, 33, 4), jnp.float32)
+    want = build_covariance_inverse(scales, quats, compact=True)
+    got = build_covariance_inverse6(scales, quats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
