@@ -54,7 +54,32 @@ def main():
     summarize(outdir)
 
 
-def summarize(outdir):
+def _bucket(op):
+    """Map a tf_op scope path to a model-level budget bucket."""
+    import re as _re
+    parts = [p for p in (op or "").split("/")
+             if p not in ("jit(forward)", "BEVSegmentor")]
+    if not parts:
+        return "(unattributed)"
+    p0 = parts[0]
+    if p0 == "img_backbone":
+        m = _re.search(r"(stage\d|conv1|bn1)", op)
+        return "main_tower/" + (m.group(1) if m else "other")
+    if p0 == "lifter":
+        if len(parts) > 1 and parts[1] == "initialize_backbone":
+            return "lifter_tower"
+        return "lifter_other"
+    if p0 == "img_neck":
+        return "main_neck"
+    if p0 == "encoder":
+        m = _re.match(r"op\d+_(\w+)", parts[1]) if len(parts) > 1 else None
+        return "encoder/" + (m.group(1) if m else "other")
+    if p0 == "head":
+        return "head"
+    return p0.split(":")[0]
+
+
+def summarize(outdir, iters: int = 3):
     files = glob.glob(os.path.join(
         outdir, "**", "*.trace.json.gz"), recursive=True)
     if not files:
@@ -66,7 +91,10 @@ def summarize(outdir):
     events = trace.get("traceEvents", [])
     # find device-side lanes (TensorCore op events)
     per_op = defaultdict(float)
+    bucket = defaultdict(lambda: [0.0, 0])
+    bucket_cat = defaultdict(float)
     total = 0.0
+    nops = 0
     for ev in events:
         if ev.get("ph") != "X":
             continue
@@ -77,18 +105,23 @@ def summarize(outdir):
             dur = ev.get("dur", 0) / 1e3  # us → ms
             per_op[name] += dur
             total += dur
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:30]
-    print(f"# total device op time: {total:.1f} ms (3 iterations)")
+            nops += 1
+            b = _bucket(args.get("tf_op", ""))
+            bucket[b][0] += dur
+            bucket[b][1] += 1
+            bucket_cat[(b, args.get("hlo_category", "?"))] += dur
+    print(f"# total device op time: {total/iters:.1f} ms/iter "
+          f"({nops//iters} op events/iter)")
+    print("# --- by model bucket (ms/iter) ---")
+    for b, (ms, cnt) in sorted(bucket.items(), key=lambda kv: -kv[1][0]):
+        cats = sorted(((c, v) for (bb, c), v in bucket_cat.items()
+                       if bb == b), key=lambda kv: -kv[1])[:3]
+        catstr = ", ".join(f"{c} {v/iters:.1f}" for c, v in cats)
+        print(f"{ms/iters:9.2f} ms  x{cnt//iters:5d}  {b:24s} [{catstr}]")
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:20]
+    print("# --- top single ops ---")
     for name, ms in top:
-        print(f"{ms:9.2f} ms  {name[:110]}")
-    # grouped by op family (strip trailing .<id> / digits)
-    import re as _re
-    fam = defaultdict(float)
-    for name, ms in per_op.items():
-        fam[_re.sub(r"[.\d]+$", "", name)] += ms
-    print("# --- by family ---")
-    for name, ms in sorted(fam.items(), key=lambda kv: -kv[1])[:20]:
-        print(f"{ms:9.2f} ms  {name[:80]}")
+        print(f"{ms/iters:9.2f} ms  {name[:110]}")
 
 
 if __name__ == "__main__":
