@@ -296,12 +296,47 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
         backend = ("pallas" if jax.default_backend() not in ("cpu",)
                    else "xla")
     if backend == "pallas":
-        return _splat_pallas(points, means, opacities, semantics, scales,
+        zrun = grid.D if grid_ordered else 0
+        # PATCH-TILE reorder: raster tiles of `tile_n` voxels are 1-wide
+        # strips in (x, y) (z fastest, then y), so a kernel tile's AABB
+        # is maximally elongated and the per-(tile, chunk) skip test
+        # fires rarely. Re-raster the grid into (8 x 4 x D) patches —
+        # a static reshape/transpose, like the zrun permute — so each
+        # 512-voxel tile is an 8x4 column block with a ~4x tighter
+        # footprint. Pure reordering: results are inverse-permuted, the
+        # kernel's bounds come from the permuted coords.
+        px, py = 8, 4
+        patch = (zrun and pallas_tile_n == px * py * grid.D
+                 and grid.H % px == 0 and grid.W % py == 0
+                 and points.shape[1] == grid.num_voxels)
+        if patch:
+            b = points.shape[0]
+
+            def to_patch(a):
+                d = a.shape[-1]
+                return a.reshape(b, grid.H // px, px, grid.W // py, py,
+                                 grid.D, d).transpose(
+                    0, 1, 3, 2, 4, 5, 6).reshape(b, -1, d)
+
+            def from_patch(a):
+                flat = a.ndim == 2
+                if flat:
+                    a = a[..., None]
+                d = a.shape[-1]
+                a = a.reshape(b, grid.H // px, grid.W // py, px, py,
+                              grid.D, d).transpose(
+                    0, 1, 3, 2, 4, 5, 6).reshape(b, -1, d)
+                return a[..., 0] if flat else a
+
+            points = to_patch(points)
+        outs = _splat_pallas(points, means, opacities, semantics, scales,
                              cov_inv6, grid, variant=variant,
                              per_axis_radii=per_axis_radii,
                              tile_n=pallas_tile_n, chunk_g=pallas_chunk_g,
-                             zrun=grid.D if grid_ordered else 0,
-                             interpret=interpret)
+                             zrun=zrun, interpret=interpret)
+        if patch:
+            outs = tuple(from_patch(o) for o in outs)
+        return outs
 
     points = jax.lax.stop_gradient(points)
     points_int = grid.voxelize(points)

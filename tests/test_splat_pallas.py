@@ -133,3 +133,57 @@ def test_pallas_zrun_matches_unordered(variant):
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("variant", ["prob", "additive"])
+def test_pallas_patch_tiles_match_xla(variant):
+    """The 8x4xD patch-tile voxel reorder (splat wrapper) is a pure
+    permutation: outputs and gradients must match the XLA backend in
+    raster order."""
+    from gaussianformer_tpu.ops.splat import SplatGridSpec
+    from gaussianformer_tpu.ops.covariance import build_covariance_inverse
+
+    grid = SplatGridSpec(H=16, W=8, D=8, pc_min=(-4.0, -2.0, -2.0),
+                         grid_size=0.5, scale_multiplier=4.0)
+    rng = np.random.RandomState(4)
+    B, P, C = 1, 11, 4
+    hh, ww, dd = np.meshgrid(np.arange(grid.H), np.arange(grid.W),
+                             np.arange(grid.D), indexing="ij")
+    idx = np.stack([hh, ww, dd], axis=-1).reshape(1, -1, 3)  # z fastest
+    points = jnp.asarray((idx + 0.5) * grid.grid_size
+                         + np.array(grid.pc_min), jnp.float32)
+    means = jnp.asarray(np.stack([
+        rng.uniform(-3.9, 3.9, (B, P)), rng.uniform(-1.9, 1.9, (B, P)),
+        rng.uniform(-1.9, 1.9, (B, P))], axis=-1), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.1, 0.8, (B, P, 3)), jnp.float32)
+    quats = jnp.asarray(rng.randn(B, P, 4), jnp.float32)
+    opas = jnp.asarray(rng.uniform(0.1, 1.0, (B, P)), jnp.float32)
+    sem = jnp.asarray(rng.uniform(0.0, 1.0, (B, P, C)), jnp.float32)
+    cov_inv = build_covariance_inverse(scales, quats)
+    args = (points, means, opas, sem, scales, cov_inv)
+
+    kw = dict(variant=variant, per_axis_radii=True)
+    ref = splat(*args, grid, backend="xla", **kw)
+    # pallas_tile_n == 8*4*D → the patch reorder is active
+    got = splat(*args, grid, backend="pallas", grid_ordered=True,
+                pallas_tile_n=256, pallas_chunk_g=8, interpret=True, **kw)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    def loss(backend, m, o, s, ci):
+        kw2 = (dict(backend="pallas", grid_ordered=True,
+                    pallas_tile_n=256, pallas_chunk_g=8, interpret=True)
+               if backend == "pallas" else dict(backend="xla"))
+        outs = splat(points, m, o, s, scales, ci, grid, **kw, **kw2)
+        return sum(jnp.sum(x ** 2) for x in outs)
+
+    g_ref = jax.grad(lambda *a: loss("xla", *a),
+                     argnums=(0, 1, 2, 3))(means, opas, sem, cov_inv)
+    g_got = jax.grad(lambda *a: loss("pallas", *a),
+                     argnums=(0, 1, 2, 3))(means, opas, sem, cov_inv)
+    # vs the XLA backend the tile reorder changes summation order;
+    # tolerance covers the float accumulation difference
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
