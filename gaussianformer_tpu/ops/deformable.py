@@ -376,7 +376,6 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     packed_s = jnp.take_along_axis(
         packed, order[..., None], axis=1).reshape(cams, qp, 32)
     u_s = packed_s[..., 0]
-    v_s = packed_s[..., 1]
     ins_s = packed_s[..., 2] > 0.5
 
     # per-chunk window starts + spill detection for the windowed levels

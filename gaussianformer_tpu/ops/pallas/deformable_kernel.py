@@ -258,7 +258,6 @@ def _bwd_kernel(starts_ref, pair_ref, gout_ref,
             red_ref[...], gout_ref[0], (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # [S, C]
-        g_pair_bf = g_pair.astype(jnp.bfloat16)
 
         g_u = jnp.zeros((s, 1), jnp.float32)
         g_v = jnp.zeros((s, 1), jnp.float32)
