@@ -175,15 +175,21 @@ def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
     r = (k - 1) // 2
     c_out = weights.shape[-1]
     X, Y, Z = grid_shape
+    # sublane-friendly spatial dims: the conv tiles spatial positions on
+    # sublanes, so ragged 100x100 planes leave partial tiles — pad to
+    # multiples of 8 (padding is zeros; SAME-conv halo into the pad is
+    # discarded because only real-voxel rows are gathered back)
+    Xp = -(-X // 8) * 8
+    Yp = -(-Y // 8) * 8
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
 
-    flat = (coords[:, 0] * Y + coords[:, 1]) * Z + coords[:, 2]
-    dense = jnp.zeros((X * Y * Z, c_in), features.dtype).at[flat].set(
+    flat = (coords[:, 0] * Yp + coords[:, 1]) * Z + coords[:, 2]
+    dense = jnp.zeros((Xp * Yp * Z, c_in), features.dtype).at[flat].set(
         features)
-    # [X, Y, Z, C] → z-planes as batch [Z, X, Y, C]
-    vol = jnp.transpose(dense.reshape(X, Y, Z, c_in), (2, 0, 1, 3))
+    # [Xp, Yp, Z, C] → z-planes as batch [Z, Xp, Yp, C]
+    vol = jnp.transpose(dense.reshape(Xp, Yp, Z, c_in), (2, 0, 1, 3))
     volp = jnp.pad(vol, ((r, r), (0, 0), (0, 0), (0, 0)))
     out = None
     for kz in range(k):
@@ -192,7 +198,7 @@ def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
             weights[:, :, kz], window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         out = o if out is None else out + o
-    out = jnp.transpose(out, (1, 2, 0, 3)).reshape(X * Y * Z, c_out)
+    out = jnp.transpose(out, (1, 2, 0, 3)).reshape(Xp * Yp * Z, c_out)
     out = out[flat].astype(jnp.float32)
     if bias is not None:
         out = out + bias

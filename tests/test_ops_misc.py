@@ -323,3 +323,21 @@ def test_dcn_offset_margin_check():
     rep2 = check_dcn_offset_margin(
         model, {**variables, "params": params}, batch)
     assert not rep2["ok"] and rep2["max_offset"] > rep2["margin"]
+
+
+def test_submanifold_dense2d_matches_gather_path():
+    """The batched-2D dense formulation (TPU path, incl. the
+    sublane-padded internal grid) must equal the voxel-hash gather
+    formulation on a ragged (non-multiple-of-8) grid."""
+    from gaussianformer_tpu.ops.sparse_conv import (
+        submanifold_conv3d, submanifold_conv3d_dense2d)
+    rng = np.random.RandomState(0)
+    P, C, k = 60, 16, 5
+    coords = jnp.asarray(rng.randint(0, [10, 11, 6], size=(P, 3)),
+                         jnp.int32)
+    feats = jnp.asarray(rng.randn(P, C), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, k, C, C) * 0.1, jnp.float32)
+    a = submanifold_conv3d(feats, coords, (10, 11, 6), w)
+    b = submanifold_conv3d_dense2d(feats, coords, (10, 11, 6), w)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-4, atol=2e-4)
