@@ -40,6 +40,12 @@ class GaussianHead(nn.Module):
     sigmoid_thresh: float = 0.5
     splat_tile_n: int = 8192
     splat_chunk_g: int = 512
+    # voxel (spatial) parallelism: when the ambient jax mesh has this
+    # axis with size > 1 (jax.sharding.use_abstract_mesh at the jit call
+    # site), the splat runs under shard_map with query voxels sharded
+    # along it — Gaussians replicated, no collectives in the forward,
+    # gradient psum inserted by shard_map's transpose.
+    voxel_shard_axis: Optional[str] = "model"
 
     def prepare_gaussian_args(self, gaussians: GaussianPrediction):
         means = gaussians.means
@@ -133,20 +139,55 @@ class GaussianHead(nn.Module):
         else:
             raise NotImplementedError(self.apply_loss_type)
 
+        splat_kw = dict(
+            variant="prob" if self.use_localaggprob else "additive",
+            per_axis_radii=self.per_axis_radii,
+            tile_n=self.splat_tile_n, chunk_g=self.splat_chunk_g,
+            # occ_xyz is the raster voxel grid (z fastest) — enables
+            # the Pallas incremental-z exponent path
+            grid_ordered=(occ_xyz.shape[3] == self.grid.D))
+
+        # voxel-sharded splat (see voxel_shard_axis): activates only
+        # when the caller established an ambient mesh carrying the axis
+        am = jax.sharding.get_abstract_mesh()
+        ax = self.voxel_shard_axis
+        shard_vox = (
+            ax is not None and am is not None
+            and ax in (getattr(am, "axis_names", ()) or ())
+            and am.shape[ax] > 1
+            and sampled_xyz.shape[1] % am.shape[ax] == 0)
+        if shard_vox:
+            from jax.sharding import PartitionSpec as PS
+            n_outs = 3 if self.use_localaggprob else 1
+            data_ax = "data" if "data" in am.axis_names else None
+
+            def _splat_shard(pts, m_, o_, s_, sc_, ci_):
+                return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
+                             **splat_kw)
+
+            # check_vma off: the XLA chunk-scan twin carries replicated
+            # zero-initialized accumulators whose varying-axis types the
+            # static checker cannot reconcile; correctness (incl. the
+            # psum in the transpose for replicated Gaussian inputs) is
+            # unaffected
+            splat_call = jax.shard_map(
+                _splat_shard,
+                in_specs=(PS(data_ax, ax),) + (PS(data_ax),) * 5,
+                out_specs=(PS(data_ax, ax),) * n_outs,
+                check_vma=False)
+        else:
+            def splat_call(pts, m_, o_, s_, sc_, ci_):
+                return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
+                             **splat_kw)
+
         prediction, bin_logits, density = [], [], []
         for idx in apply_loss_layers:
             gaussians = representation[idx]
             means, opa, sem, scales, cov_inv6 = self.prepare_gaussian_args(
                 gaussians)
 
-            outs = splat(
-                sampled_xyz, means, opa, sem, scales, cov_inv6, self.grid,
-                variant="prob" if self.use_localaggprob else "additive",
-                per_axis_radii=self.per_axis_radii,
-                tile_n=self.splat_tile_n, chunk_g=self.splat_chunk_g,
-                # occ_xyz is the raster voxel grid (z fastest) — enables
-                # the Pallas incremental-z exponent path
-                grid_ordered=(occ_xyz.shape[3] == self.grid.D))
+            outs = splat_call(sampled_xyz, means, opa, sem, scales,
+                              cov_inv6)
 
             if self.use_localaggprob:
                 logits, bins, dens = outs

@@ -141,6 +141,15 @@ class Trainer:
                                    static_argnums=(3,))
         self._eval_step = make_eval_step(model)
 
+    def _mesh_ctx(self):
+        """Ambient abstract-mesh context for jitted step calls: lets
+        mesh-aware modules (GaussianHead.voxel_shard_axis) see the mesh
+        axes during tracing; inert for a data-only mesh."""
+        if self.mesh is not None:
+            return jax.sharding.use_abstract_mesh(self.mesh.abstract_mesh)
+        import contextlib
+        return contextlib.nullcontext()
+
     def _draw_loss_layers(self):
         """Host-side supervised-layer draw for ``random_k`` with k > 1
         (reference gaussian_head.py:133-137: k-1 uniform picks from the
@@ -267,9 +276,10 @@ class Trainer:
                     batch = shard_global_batch(self.mesh, batch)
                 data_time = time.time() - t_data
                 self.rng, step_rng = jax.random.split(self.rng)
-                self._state, metrics = self._train_step(
-                    self._state, batch, step_rng,
-                    self._draw_loss_layers())
+                with self._mesh_ctx():
+                    self._state, metrics = self._train_step(
+                        self._state, batch, step_rng,
+                        self._draw_loss_layers())
                 self.global_iter += 1
                 if i % self.print_freq == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -296,7 +306,8 @@ class Trainer:
         for batch in self.val_loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.rng, step_rng = jax.random.split(self.rng)
-            out = self._eval_step(self._state.params,
+            with self._mesh_ctx():
+                out = self._eval_step(self._state.params,
                                   self._state.batch_stats, batch, step_rng)
             for b in range(out["final_occ"].shape[0]):
                 miou.update(out["final_occ"][b], out["sampled_label"][b],
