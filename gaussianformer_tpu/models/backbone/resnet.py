@@ -70,12 +70,17 @@ class StemConv(nn.Module):
 
 
 class FrozenBatchNorm(nn.Module):
-    """BN evaluated with stored running statistics."""
+    """BN evaluated with stored running statistics.
+
+    ``__call__(None)`` returns the affine coefficients ``(inv, shift)``
+    instead of applying them — used to fold the BN into a preceding
+    Pallas kernel's epilogue (same parameters/collections either way).
+    """
     features: int
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.variable("batch_stats", "mean",
@@ -84,6 +89,8 @@ class FrozenBatchNorm(nn.Module):
                             lambda: jnp.ones((self.features,)))
         inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
         shift = bias - mean.value * inv
+        if x is None:
+            return inv, shift
         return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
@@ -102,7 +109,7 @@ class DeformConv2d(nn.Module):
     backend: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, epilogue=None):
         k = self.kernel
         pad = self.dilation * (k - 1) // 2
         # offset/mask conv — zero-init as in DCNv2
@@ -135,11 +142,16 @@ class DeformConv2d(nn.Module):
             from ...ops.pallas.dcn_kernel import deform_conv2d_pallas
             return deform_conv2d_pallas(
                 x, offset.astype(jnp.float32), mask.astype(jnp.float32),
-                weight.astype(self.dtype), win=win)
-        return deform_conv2d(
+                weight.astype(self.dtype), win=win, epilogue=epilogue)
+        out = deform_conv2d(
             x, offset.astype(jnp.float32), mask.astype(jnp.float32),
             weight.astype(self.dtype), stride=self.stride, padding=pad,
             dilation=self.dilation)
+        if epilogue is not None:
+            inv, shift = epilogue
+            out = nn.relu(out * inv.astype(out.dtype)
+                          + shift.astype(out.dtype))
+        return out
 
 
 class Bottleneck(nn.Module):
@@ -150,6 +162,8 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    fuse_dcn_epilogue: bool = False   # inference: bn2+relu inside the
+                                      # Pallas DCN kernel (forward-only)
 
     @nn.compact
     def __call__(self, x):
@@ -161,18 +175,23 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
 
-        if self.with_dcn:
+        bn2 = FrozenBatchNorm(self.planes, name="bn2")
+        if self.with_dcn and self.fuse_dcn_epilogue:
+            out = DeformConv2d(self.planes, 3, stride=s2,
+                               dilation=self.dilation, dtype=self.dtype,
+                               name="conv2")(out, epilogue=bn2(None))
+        elif self.with_dcn:
             out = DeformConv2d(self.planes, 3, stride=s2,
                                dilation=self.dilation, dtype=self.dtype,
                                name="conv2")(out)
+            out = nn.relu(bn2(out))
         else:
             out = nn.Conv(self.planes, (3, 3), strides=(s2, s2),
                           padding=self.dilation,
                           kernel_dilation=(self.dilation, self.dilation),
                           use_bias=False, dtype=self.dtype,
                           name="conv2")(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
-        out = nn.relu(out)
+            out = nn.relu(bn2(out))
 
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
@@ -231,6 +250,7 @@ class ResNetStage(nn.Module):
     style: str = "caffe"
     with_dcn: bool = False
     dtype: jnp.dtype = jnp.float32
+    fuse_dcn_epilogue: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -240,11 +260,13 @@ class ResNetStage(nn.Module):
             blk_stride = self.stride if j == 0 else 1
             need_ds = j == 0 and (
                 blk_stride != 1 or x.shape[-1] != self.planes * expansion)
+            extra = ({"fuse_dcn_epilogue": self.fuse_dcn_epilogue}
+                     if self.block == "bottleneck" else {})
             x = block_cls(
                 planes=self.planes, stride=blk_stride,
                 dilation=self.dilation, style=self.style,
                 with_dcn=self.with_dcn, dtype=self.dtype,
-                downsample=need_ds, name=f"layer_{j}")(x)
+                downsample=need_ds, name=f"layer_{j}", **extra)(x)
         return x
 
 
@@ -259,6 +281,9 @@ class ResNet(nn.Module):
     base_channels: int = 64
     with_cp: bool = False
     dtype: jnp.dtype = jnp.float32
+    # inference-only: fold bn2+relu into the Pallas DCN kernel epilogue
+    # (forward-only path; the segmentor sets this when not training)
+    fuse_dcn_epilogue: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -288,6 +313,7 @@ class ResNet(nn.Module):
                 num_blocks=stage_blocks[i], stride=self.strides[i],
                 dilation=self.dilations[i], style=self.style,
                 with_dcn=self.stage_with_dcn[i], dtype=self.dtype,
+                fuse_dcn_epilogue=self.fuse_dcn_epilogue,
                 name=f"stage{i + 1}")(x)
             if i in self.out_indices:
                 outs.append(x)

@@ -83,7 +83,8 @@ class GaussianLifterV2(nn.Module):
     def __call__(self, imgs, projection_mat, image_wh, occ_label=None,
                  occ_cam_mask=None, secondfpn_out=None, *,
                  rng: Optional[jax.Array] = None,
-                 compute_gt: bool = True):
+                 compute_gt: bool = True,
+                 fuse_dcn_epilogue: bool = False):
         """imgs: [B, N, H, W, 3]; projection_mat: [B, N, 4, 4] (lidar→img);
         occ_label: [B, X, Y, Z] int; occ_cam_mask: [B, X, Y, Z] bool."""
         b, n = imgs.shape[:2]
@@ -95,6 +96,7 @@ class GaussianLifterV2(nn.Module):
                 base_channels=self.initializer_base_channels,
                 out_channels=tuple(self.initializer_out_channels),
                 dtype=self.initializer_dtype,
+                fuse_dcn_epilogue=fuse_dcn_epilogue,
                 name="initialize_backbone")(
                 imgs.reshape((b * n,) + imgs.shape[2:]))
             secondfpn_out = feat.reshape((b, n) + feat.shape[1:])

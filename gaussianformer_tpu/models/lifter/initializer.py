@@ -21,6 +21,7 @@ class ResNetSecondFPN(nn.Module):
     out_channels: Tuple[int, ...] = (128, 128, 128, 128)
     upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4)
     dtype: str = "float32"
+    fuse_dcn_epilogue: bool = False
 
     @nn.compact
     def __call__(self, imgs):
@@ -31,7 +32,8 @@ class ResNetSecondFPN(nn.Module):
             depth=self.depth, out_indices=self.out_indices,
             style=self.style, stage_with_dcn=self.stage_with_dcn,
             with_cp=self.with_cp, base_channels=self.base_channels,
-            dtype=dt, name="img_backbone")(imgs)
+            dtype=dt, fuse_dcn_epilogue=self.fuse_dcn_epilogue,
+            name="img_backbone")(imgs)
         out = SECONDFPN(
             out_channels=self.out_channels,
             upsample_strides=self.upsample_strides, dtype=dt,

@@ -53,6 +53,9 @@ class BEVSegmentor(nn.Module):
             backbone_cfg["dtype"] = jnp.dtype(backbone_cfg["dtype"])
         if "dtype" in neck_cfg:
             neck_cfg["dtype"] = jnp.dtype(neck_cfg["dtype"])
+        # inference: fold each DCN block's bn2+relu into the Pallas
+        # kernel epilogue (forward-only fast path)
+        backbone_cfg.setdefault("fuse_dcn_epilogue", not training)
         stage_feats = ResNet(**backbone_cfg, name="img_backbone")(flat)
         stage_feats = [stage_feats[i] for i in self.img_backbone_out_indices]
         ms_feats = FPN(**neck_cfg, name="img_neck")(stage_feats)
@@ -73,7 +76,8 @@ class BEVSegmentor(nn.Module):
                 **(self.lifter_cfg or {}), name="lifter")(
                 imgs, projection_mat, image_wh,
                 occ_label=occ_label, occ_cam_mask=occ_cam_mask,
-                rng=rng_lifter, compute_gt=training)
+                rng=rng_lifter, compute_gt=training,
+                fuse_dcn_epilogue=not training)
 
         # ---- iterative refinement
         enc_out = GaussianOccEncoder(

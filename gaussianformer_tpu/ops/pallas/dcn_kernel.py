@@ -33,9 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
+def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
             h: int, w: int, c_in: int, c_out: int, win: int, tile: int,
-            num_tc: int, w_strip: int):
+            num_tc: int, w_strip: int, epilogue: bool):
     i = pl.program_id(1)
     b = pl.program_id(0)
     lead = (win - tile) // 2
@@ -121,6 +121,12 @@ def _kernel(x_hbm, offm_ref, w_ref, out_ref, strip_buf, sem, *,
                 acc[k * tile * tile:(k + 1) * tile * tile, :], w_ref[k],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        if epilogue:
+            # fused frozen-BN + ReLU (inference path): XLA cannot fuse
+            # elementwise consumers into a custom call, so without this
+            # every DCN block pays a separate full-map pass
+            out = jnp.maximum(out * epi_ref[0:1, :] + epi_ref[1:2, :],
+                              0.0)
         out_ref[0, :, pl.ds(j * tile, tile), :] = out.reshape(
             tile, tile, c_out).astype(out_ref.dtype)
         return 0
@@ -147,9 +153,14 @@ def _pack_offm(offset, mask, num_tr, num_tc, tile):
 
 
 def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
-                             tile: int = 8, interpret: bool = False):
+                             tile: int = 8, interpret: bool = False,
+                             epilogue=None):
     """Forward-only Pallas DCN. x [B,H,W,C] (bf16 recommended),
-    offset/mask as in ops/dcn.deform_conv2d, weight [3,3,C_in,C_out]."""
+    offset/mask as in ops/dcn.deform_conv2d, weight [3,3,C_in,C_out].
+
+    ``epilogue``: optional (inv [C_out], shift [C_out]) f32 pair — the
+    kernel then emits ``relu(out * inv + shift)`` (fused frozen-BN +
+    ReLU; forward-only, used on the inference path)."""
     b, h, w, c_in = x.shape
     k = weight.shape[0]
     c_out = weight.shape[-1]
@@ -161,6 +172,13 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     offm = _pack_offm(offset.astype(jnp.float32), mask.astype(jnp.float32),
                       num_tr, num_tc, tile)
     w_taps = weight.reshape(k * k, c_in, c_out).astype(x.dtype)
+    if epilogue is not None:
+        inv, shift = epilogue
+        epi = jnp.concatenate(
+            [inv.astype(jnp.float32)[None], shift.astype(jnp.float32)[None],
+             jnp.zeros((6, c_out), jnp.float32)], axis=0)
+    else:
+        epi = jnp.zeros((8, c_out), jnp.float32)
 
     # pad so every window DMA starts exactly at (i*T, j*T): `lead` rows /
     # cols of zeros on top/left, tile-grid + lead slack on bottom/right
@@ -173,7 +191,7 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     w_strip = num_tc * tile + 2 * lead
     kernel = functools.partial(
         _kernel, h=h, w=w, c_in=c_in, c_out=c_out, win=win, tile=tile,
-        num_tc=num_tc, w_strip=w_strip)
+        num_tc=num_tc, w_strip=w_strip, epilogue=epilogue is not None)
 
     out = pl.pallas_call(
         kernel,
@@ -184,6 +202,7 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
                          lambda bb, ii: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # epilogue coeffs
         ],
         out_specs=pl.BlockSpec(
             (1, tile, num_tc * tile, c_out),
@@ -196,7 +215,7 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, offm, w_taps)
+    )(xp, offm, w_taps, epi)
     return out[:, :h, :w]
 
 
@@ -444,7 +463,7 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
 def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
                          stride: int = 1, padding: int = 1,
                          dilation: int = 1, win: int = 24, tile: int = 8,
-                         interpret: bool = False):
+                         interpret: bool = False, epilogue=None):
     """DCNv2 with a Pallas forward and a hand-derived Pallas backward.
 
     The backward (``deform_conv2d_pallas_bwd``) recomputes the per-tile
@@ -452,8 +471,18 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
     with MXU matmuls; like the forward, its gradient domain is clamped to
     the static window (corners beyond ±(win-tile-3)/2 px of their tap get
     zero value AND zero gradient — see the module docstring).
+
+    ``epilogue=(inv, shift)`` fuses frozen-BN + ReLU into the kernel and
+    returns the activated output; this path is FORWARD-ONLY (no custom
+    VJP — differentiating it fails at the pallas_call), used when the
+    caller is on the inference path.
     """
     assert stride == 1 and dilation == 1 and padding == 1
+    if epilogue is not None:
+        assert bias is None, "fold a conv bias into the epilogue shift"
+        return deform_conv2d_pallas_fwd(x, offset, mask, weight, win=win,
+                                        tile=tile, interpret=interpret,
+                                        epilogue=epilogue)
 
     @jax.custom_vjp
     def f(x, offset, mask, weight):

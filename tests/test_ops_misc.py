@@ -341,3 +341,25 @@ def test_submanifold_dense2d_matches_gather_path():
     b = submanifold_conv3d_dense2d(feats, coords, (10, 11, 6), w)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dcn_pallas_epilogue_matches_separate_bn_relu():
+    """The fused frozen-BN+ReLU epilogue in the Pallas DCN forward must
+    equal kernel-then-BN-then-ReLU."""
+    from gaussianformer_tpu.ops.pallas.dcn_kernel import (
+        deform_conv2d_pallas_fwd)
+    rng = np.random.RandomState(6)
+    B, H, W, C = 1, 24, 32, 128
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    off = jnp.asarray(rng.randn(B, H, W, 18) * 2.0, jnp.float32)
+    msk = jnp.asarray(1 / (1 + np.exp(-rng.randn(B, H, W, 9))), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, C, C) * 0.05, jnp.float32)
+    inv = jnp.asarray(rng.rand(C) + 0.5, jnp.float32)
+    shift = jnp.asarray(rng.randn(C), jnp.float32)
+
+    base = deform_conv2d_pallas_fwd(x, off, msk, wgt, interpret=True)
+    want = jnp.maximum(base * inv + shift, 0.0)
+    got = deform_conv2d_pallas_fwd(x, off, msk, wgt, interpret=True,
+                                   epilogue=(inv, shift))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
