@@ -190,11 +190,14 @@ class GaussianLifterV2(nn.Module):
         def pad_invalid(cand_i, valid_i, key):
             num_cand = cand_i.shape[0]
             k_pick_i, k_noise_i = jax.random.split(key)
-            order = jnp.argsort(~valid_i)  # valid slots first
+            # stable list of valid slots via blocked prefix compaction
+            # (a bool argsort of ~130k rows costs ~1 ms on v5e)
+            from ...ops.compaction import compact_indices
+            order_valid = compact_indices(valid_i, num_cand)
             count = jnp.maximum(jnp.sum(valid_i), 1)
             pick = jax.random.randint(
                 k_pick_i, (num_cand,), 0, num_cand) % count
-            repl = cand_i[order[pick]]
+            repl = cand_i[order_valid[pick]]
             noise = jax.random.normal(k_noise_i, (num_cand, 3)) * 0.1
             repl = jnp.clip(repl + noise, pc_lo, pc_hi)
             return jnp.where(valid_i[:, None], cand_i, repl)

@@ -94,3 +94,15 @@ def test_covariance_inverse6_matches_matrix_path():
     got = build_covariance_inverse6(scales, quats)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_compact_indices_matches_argsort():
+    import jax.numpy as jnp
+    from gaussianformer_tpu.ops.compaction import compact_indices
+
+    rng = np.random.RandomState(5)
+    mask = jnp.asarray(rng.rand(1300) > 0.7)
+    got = compact_indices(mask, 1300)
+    order = np.argsort(~np.asarray(mask), kind="stable")
+    count = int(np.asarray(mask).sum())
+    np.testing.assert_array_equal(np.asarray(got)[:count], order[:count])
