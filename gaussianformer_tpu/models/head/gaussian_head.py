@@ -176,18 +176,37 @@ class GaussianHead(nn.Module):
                 out_specs=(PS(data_ax, ax),) * n_outs,
                 check_vma=False)
         else:
+            # at inference the splat leaves its outputs in kernel
+            # (patch-tile / z-major) row order: the logits combine and
+            # argmax below are elementwise across rows, so only the
+            # final int labels pay the voxel-order relayout (the float
+            # unpatches feed the output dict and are dead-code
+            # eliminated when the caller fetches final_occ only)
+            defer = not training
+
             def splat_call(pts, m_, o_, s_, sc_, ci_):
+                if defer:
+                    return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
+                                 defer_unpatch=True, **splat_kw)
                 return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
-                             **splat_kw)
+                             **splat_kw), (lambda a: a)
+
+        if shard_vox:
+            _inner = splat_call
+
+            def splat_call(pts, m_, o_, s_, sc_, ci_):
+                return _inner(pts, m_, o_, s_, sc_, ci_), (lambda a: a)
 
         prediction, bin_logits, density = [], [], []
+        logits_k = bins_k = None
+        unpatch = lambda a: a  # noqa: E731
         for idx in apply_loss_layers:
             gaussians = representation[idx]
             means, opa, sem, scales, cov_inv6 = self.prepare_gaussian_args(
                 gaussians)
 
-            outs = splat_call(sampled_xyz, means, opa, sem, scales,
-                              cov_inv6)
+            outs, unpatch = splat_call(sampled_xyz, means, opa, sem,
+                                       scales, cov_inv6)
 
             if self.use_localaggprob:
                 logits, bins, dens = outs
@@ -195,18 +214,21 @@ class GaussianHead(nn.Module):
                     sem_part = logits[..., :-1] * bins[..., None]
                     geo_part = 1.0 - bins[..., None]
                     logits = jnp.concatenate([sem_part, geo_part], axis=-1)
-                prediction.append(logits)
-                bin_logits.append(bins)
-                density.append(dens)
+                logits_k, bins_k = logits, bins
+                prediction.append(unpatch(logits))
+                bin_logits.append(unpatch(bins))
+                density.append(unpatch(dens))
             else:
-                prediction.append(outs[0])
+                logits_k = outs[0]
+                prediction.append(unpatch(outs[0]))
 
         if self.use_localaggprob and not self.combine_geosem:
-            final_sem = jnp.argmax(prediction[-1], axis=-1)
-            occupied = bin_logits[-1] > self.sigmoid_thresh
-            final_occ = jnp.where(occupied, final_sem, self.empty_label)
+            final_sem = jnp.argmax(logits_k, axis=-1)
+            occupied = bins_k > self.sigmoid_thresh
+            final_occ = unpatch(
+                jnp.where(occupied, final_sem, self.empty_label))
         else:
-            final_occ = jnp.argmax(prediction[-1], axis=-1)
+            final_occ = unpatch(jnp.argmax(logits_k, axis=-1))
 
         return {
             "pred_occ": prediction,

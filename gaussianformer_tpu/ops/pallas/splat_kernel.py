@@ -213,10 +213,20 @@ def _check_vmem_budget(p_pad: int, c_aug: int, tile_n: int, chunk_g: int):
             " chunks through HBM.")
 
 
+def unpermute_zrun(a, zrun: int, tile_n: int):
+    """Inverse of the kernel's tile-local z-major permute for a batched
+    row tensor ``a`` of shape [..., N, D] (N a multiple of tile_n)."""
+    cols = tile_n // zrun
+    lead = a.shape[:-2]
+    n, d = a.shape[-2:]
+    return a.reshape(lead + (-1, zrun, cols, d)).swapaxes(-2, -3).reshape(
+        lead + (n, d))
+
+
 def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
                      chunk_g: int = 512, needs_om: bool = True,
                      interpret: bool = False, prune: bool = True,
-                     zrun: int = 0):
+                     zrun: int = 0, defer_zrun: bool = False):
     """Raw splat accumulators for one batch element.
 
     pts:     [N, 4]   float32 query points (xyz, pad).
@@ -231,6 +241,13 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
              the VPU-bound exponent build). The wrapper permutes each
              tile z-major and inverse-permutes the outputs, so results
              stay in input order.
+
+    defer_zrun: return the outputs still in the tile-local z-major
+             kernel order (requires N % tile_n == 0 so no pad rows mix
+             in); the caller inverts later with :func:`unpermute_zrun`.
+             Lets elementwise consumers (logits math, argmax) run in
+             kernel order so only the final small tensor pays the
+             relayout.
 
     Returns (acc [N, C+2], one_minus [N]).
     """
@@ -347,12 +364,10 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
         ],
         interpret=interpret,
     )(tile_bounds, chunk_bounds, pts, pts_int, gdata_t, box_t, sem_pair)
+    if zrun and defer_zrun:
+        assert n == n_pad, (n, n_pad)
+        return acc, om[:, 0]
     if zrun:
-        def _from_kernel_order(a):
-            d = a.shape[1]
-            return a.reshape(-1, zrun, cols, d).transpose(
-                0, 2, 1, 3).reshape(n_pad, d)
-
-        acc = _from_kernel_order(acc)
-        om = _from_kernel_order(om)
+        acc = unpermute_zrun(acc, zrun, tile_n)
+        om = unpermute_zrun(om, zrun, tile_n)
     return acc[:n], om[:n, 0]

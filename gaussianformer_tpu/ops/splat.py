@@ -267,7 +267,8 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
           per_axis_radii: bool = True, tile_n: int = 8192,
           chunk_g: int = 128, backend: str = "auto",
           pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
-          grid_ordered: bool = False, interpret: bool = False):
+          grid_ordered: bool = False, interpret: bool = False,
+          defer_unpatch: bool = False):
     """Batched Gaussian→voxel splat.
 
     Args:
@@ -287,10 +288,20 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
                  exponent path (~2x on its VPU-bound build). Output
                  order is unchanged. Only the caller can know this, so
                  it is opt-in (the head sets it).
+      defer_unpatch: INFERENCE ONLY (bypasses the custom-VJP wrapper).
+                 Return the outputs still in the kernel's patch-tile /
+                 z-major row order together with an ``unpatch(a)``
+                 callable restoring voxel order for [B, N] / [B, N, C]
+                 tensors. Elementwise consumers (logits combine, argmax)
+                 can then run in kernel order and only the final labels
+                 pay the [640k, C]-sized relayout (~3 ms/frame on v5e).
+                 Returns ``(outs, unpatch)``; unpatch is identity when
+                 the patch path was not eligible.
 
     Returns:
       additive: (logits [B, N, C],)
       prob:     (logits [B, N, C], bin_logits [B, N], density [B, N])
+      with defer_unpatch: (outs_tuple, unpatch_fn)
     """
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() not in ("cpu",)
@@ -329,6 +340,21 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
                 return a[..., 0] if flat else a
 
             points = to_patch(points)
+        if defer_unpatch and patch:
+            from .pallas.splat_kernel import unpermute_zrun
+            outs = _splat_pallas_fwd_only(
+                points, means, opacities, semantics, scales, cov_inv6,
+                grid, variant, per_axis_radii, pallas_tile_n,
+                pallas_chunk_g, interpret, zrun=zrun, defer_zrun=True)
+
+            def unpatch(a):
+                flat = a.ndim == 2
+                a2 = a[..., None] if flat else a
+                a2 = unpermute_zrun(a2, zrun, pallas_tile_n)
+                a2 = from_patch(a2)
+                return a2[..., 0] if flat else a2
+
+            return outs, unpatch
         outs = _splat_pallas(points, means, opacities, semantics, scales,
                              cov_inv6, grid, variant=variant,
                              per_axis_radii=per_axis_radii,
@@ -336,7 +362,7 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
                              zrun=zrun, interpret=interpret)
         if patch:
             outs = tuple(from_patch(o) for o in outs)
-        return outs
+        return (outs, lambda a: a) if defer_unpatch else outs
 
     points = jax.lax.stop_gradient(points)
     points_int = grid.voxelize(points)
@@ -352,8 +378,9 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
             points[bi], points_int[bi], means[bi], means_int[bi],
             opacities[bi], semantics[bi], radii[bi], cov_inv6[bi],
             variant=variant, tile_n=tile_n, chunk_g=chunk_g))
-    return tuple(jnp.stack([o[k] for o in outs])
-                 for k in range(len(outs[0])))
+    result = tuple(jnp.stack([o[k] for o in outs])
+                   for k in range(len(outs[0])))
+    return (result, lambda a: a) if defer_unpatch else result
 
 
 # ---------------------------------------------------------------------------
@@ -635,7 +662,7 @@ def _pack_gaussians(points, means, opacities, semantics, scales, cov_inv6,
 def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
                            cov_inv6, grid, variant, per_axis_radii, tile_n,
                            chunk_g, interpret, with_aux: bool = False,
-                           zrun: int = 0):
+                           zrun: int = 0, defer_zrun: bool = False):
     from .pallas.splat_kernel import splat_raw_pallas
     c = semantics.shape[-1]
     pts4, pint, gdata, box, sem_aug = _pack_gaussians(
@@ -648,7 +675,7 @@ def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
         acc, om = splat_raw_pallas(
             pts4[bi], pint[bi], gdata[bi], box[bi], sem_aug[bi],
             tile_n=tile_n, chunk_g=chunk_g, needs_om=needs_om,
-            interpret=interpret, zrun=zrun)
+            interpret=interpret, zrun=zrun, defer_zrun=defer_zrun)
         if variant == "prob":
             outs.append(_postprocess_prob(acc, om, c))
             auxs.append((acc[:, c], om))

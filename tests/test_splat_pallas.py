@@ -187,3 +187,50 @@ def test_pallas_patch_tiles_match_xla(variant):
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_defer_unpatch_matches():
+    """defer_unpatch=True returns kernel-order rows + an unpatch callable
+    whose composition reproduces the eager (voxel-order) outputs, for
+    both [B, N, C] and flat [B, N] tensors (the head defers the voxel
+    relayout past its elementwise logits/argmax math at inference)."""
+    from gaussianformer_tpu.ops.covariance import build_covariance_inverse
+
+    grid = SplatGridSpec(H=16, W=8, D=8, pc_min=(-4.0, -2.0, -2.0),
+                         grid_size=0.5, scale_multiplier=4.0)
+    rng = np.random.RandomState(7)
+    B, P, C = 1, 9, 5
+    hh, ww, dd = np.meshgrid(np.arange(grid.H), np.arange(grid.W),
+                             np.arange(grid.D), indexing="ij")
+    idx = np.stack([hh, ww, dd], axis=-1).reshape(1, -1, 3)
+    points = jnp.asarray((idx + 0.5) * grid.grid_size
+                         + np.array(grid.pc_min), jnp.float32)
+    means = jnp.asarray(np.stack([
+        rng.uniform(-3.9, 3.9, (B, P)), rng.uniform(-1.9, 1.9, (B, P)),
+        rng.uniform(-1.9, 1.9, (B, P))], axis=-1), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.1, 0.8, (B, P, 3)), jnp.float32)
+    quats = jnp.asarray(rng.randn(B, P, 4), jnp.float32)
+    opas = jnp.asarray(rng.uniform(0.1, 1.0, (B, P)), jnp.float32)
+    sem = jnp.asarray(rng.uniform(0.0, 1.0, (B, P, C)), jnp.float32)
+    cov_inv = build_covariance_inverse(scales, quats)
+    args = (points, means, opas, sem, scales, cov_inv)
+
+    kw = dict(variant="prob", per_axis_radii=True, backend="pallas",
+              grid_ordered=True, pallas_tile_n=256, pallas_chunk_g=8,
+              interpret=True)
+    eager = splat(*args, grid, **kw)
+    deferred, unpatch = splat(*args, grid, defer_unpatch=True, **kw)
+    for a, b in zip(deferred, eager):
+        np.testing.assert_allclose(np.asarray(unpatch(a)), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # argmax commutes with the row permutation
+    lbl_k = jnp.argmax(deferred[0], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(unpatch(lbl_k)),
+        np.asarray(jnp.argmax(eager[0], axis=-1)))
+    # identity fallback when the patch path is ineligible (xla backend)
+    outs2, ident = splat(*args, grid, variant="prob", backend="xla",
+                         defer_unpatch=True)
+    for a, b in zip(outs2, splat(*args, grid, variant="prob",
+                                 backend="xla")):
+        np.testing.assert_allclose(np.asarray(ident(a)), np.asarray(b))
