@@ -469,19 +469,19 @@ def _spill_cleanup(feats, packed_s, spill, pair_perm, shapes,
         -1, blk)
     row = jnp.cumsum(spi, axis=1)
     offs = jnp.cumsum(row[:, -1]) - row[:, -1]
-    pos = (row + offs[:, None]).reshape(-1)[:qtot] - 1
-    # non-spilled rows are routed OUT of bounds and dropped: writing them
-    # all to one overflow slot serializes the scatter (~260k conflicting
-    # updates to one address); with in-bounds slots unique by
-    # construction the scatter takes the fast unique-indices path
-    slot = jnp.where(sp & (pos < budget), pos, budget + 1)
-    buf = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
-        jnp.arange(qtot, dtype=jnp.int32), mode="drop",
-        unique_indices=True)
-    n_spill = jnp.sum(sp)
+    c = (row + offs[:, None]).reshape(-1)[:qtot]  # inclusive spill count
+    # compact via BINARY SEARCH on the monotone cumulative count instead
+    # of a scatter: slot i is the first row where the count reaches i+1.
+    # The qtot-update scatter this replaces cost ~5 ms/frame on v5e
+    # (XLA serializes the dropped updates); 8k searchsorted queries over
+    # the 270k-row cumsum are ~20 gather rounds of 8k rows (~0.7 ms).
+    flat_idx = jnp.searchsorted(
+        c, jnp.arange(1, budget + 1, dtype=c.dtype),
+        side="left").astype(jnp.int32)
+    # slots past the last spilled row return qtot: the row gather below
+    # clamps (JAX gather OOB semantics) and `used` zeroes the result
+    n_spill = c[-1]
     used = (jnp.arange(budget) < jnp.minimum(n_spill, budget))
-
-    flat_idx = buf[:budget]
     # one row gather from the 32-col pair table (u, v, -, -, w16, pad)
     rows = packed_s.reshape(-1, packed_s.shape[-1])[flat_idx]
     su = rows[:, 0]
