@@ -11,6 +11,13 @@ Capability parity with the reference GaussianHead
   - prob path: softmax semantics + zero-padded empty channel, GMM splat
     (bin_logits / density), then either `combine_geosem` or
     argmax+threshold post-processing.
+
+Constraint: with ``training=False`` the (non-sharded) splat runs through
+the forward-only deferred-unpatch path, which bypasses the custom-VJP
+wrapper — an eval-mode forward is NOT differentiable on the pallas
+backend. Input-sensitivity / eval-time-grad studies must call with
+``training=True`` (and pass ``apply_loss_layers=[num_decoder-1]`` to keep
+eval layer selection).
 """
 from __future__ import annotations
 
@@ -119,18 +126,18 @@ class GaussianHead(nn.Module):
         elif self.apply_loss_type.startswith("random"):
             k = int(self.apply_loss_type.split("_")[1])
             if k > 1:
-                assert rng is not None
-                extra = jax.random.choice(
-                    rng, num_decoder - 1, (k - 1,), replace=False)
-                # static shapes: we gather the layer predictions dynamically
-                # below via a python loop over all layers and jnp.where —
-                # but layer choice is data independent so lax.switch would
-                # also work; simplest parity: supervise the last layer plus
-                # (k-1) randomly chosen earlier layers. To stay jit-static
-                # we draw outside jit in the train loop; here k>1 falls
-                # back to supervising the last k layers when no host rng.
-                apply_loss_layers = list(range(num_decoder - k,
-                                               num_decoder))
+                # The reference draws the supervised-layer subset on host
+                # with np.random.choice (gaussian_head.py:133-137); the
+                # static-shape parity path is a host draw passed in as
+                # ``apply_loss_layers`` (Trainer._draw_loss_layers). A
+                # silent in-jit approximation (e.g. "last k layers")
+                # would change which layers are supervised without any
+                # signal — refuse instead.
+                raise ValueError(
+                    f"apply_loss_type={self.apply_loss_type!r} with k>1 "
+                    "needs the supervised layers drawn on host: pass "
+                    "apply_loss_layers=<tuple of layer indices> (see "
+                    "Trainer._draw_loss_layers for the parity draw).")
             else:
                 apply_loss_layers = [num_decoder - 1]
         elif self.apply_loss_type.startswith("fixed"):

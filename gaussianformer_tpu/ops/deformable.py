@@ -478,8 +478,10 @@ def _spill_cleanup(feats, packed_s, spill, pair_perm, shapes,
     flat_idx = jnp.searchsorted(
         c, jnp.arange(1, budget + 1, dtype=c.dtype),
         side="left").astype(jnp.int32)
-    # slots past the last spilled row return qtot: the row gather below
-    # clamps (JAX gather OOB semantics) and `used` zeroes the result
+    # slots past the last spilled row return qtot (one past the end):
+    # clamp explicitly rather than leaning on JAX's default gather-clamp
+    # at the three downstream gathers; `used` zeroes their results
+    flat_idx = jnp.minimum(flat_idx, qtot - 1)
     n_spill = c[-1]
     used = (jnp.arange(budget) < jnp.minimum(n_spill, budget))
     # one row gather from the 32-col pair table (u, v, -, -, w16, pad)
