@@ -12,6 +12,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="prob_gs6400")
     ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--num-workers", type=int, default=4)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--data-root", default="data/nuscenes")
     ap.add_argument("--anno-root", default="data/nuscenes_cam")
@@ -51,7 +52,8 @@ def main():
     val_loader = DataLoader(val_ds, cfg.data.batch_size,
                             sampler=ShardedSampler(
                                 len(val_ds), shard_id=proc_id,
-                                num_shards=num_procs, shuffle=False))
+                                num_shards=num_procs, shuffle=False),
+                            num_workers=args.num_workers)
     trainer = Trainer(cfg, val_loader, val_loader, args.work_dir)
     trainer.init_state(next(iter(val_loader)), inference_only=True)
 

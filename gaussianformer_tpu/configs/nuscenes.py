@@ -102,6 +102,11 @@ class GaussianFormerConfig:
     # deformable backend: "auto" (fused Pallas kernel on TPU, XLA gather
     # elsewhere), "fused", or "xla"
     deformable_backend: str = "auto"
+    # Pallas DCN sampling window (both towers). Samples beyond
+    # ±(dcn_win-11)/2 feature px of their tap are dropped; widen (in
+    # multiples of 8) if utils.check_dcn_offset_margin flags a
+    # checkpoint whose learned offsets exceed that margin.
+    dcn_win: int = 24
 
     ffn_drop: float = 0.1
     # head
@@ -152,7 +157,7 @@ class GaussianFormerConfig:
     def backbone_cfg(self) -> dict:
         return dict(depth=101, out_indices=(0, 1, 2, 3), style="caffe",
                     stage_with_dcn=(False, False, True, True), with_cp=True,
-                    dtype=self.compute_dtype)
+                    dtype=self.compute_dtype, dcn_win=self.dcn_win)
 
     def neck_cfg(self) -> dict:
         return dict(out_channels=self.embed_dims, num_outs=4, start_level=1,
@@ -174,7 +179,8 @@ class GaussianFormerConfig:
                     pc_range=self.pc_range,
                     random_samples=self.random_samples,
                     empty_label=self.empty_label,
-                    initializer_dtype=self.compute_dtype)
+                    initializer_dtype=self.compute_dtype,
+                    dcn_win=self.dcn_win)
 
     def encoder_cfg(self) -> dict:
         refine_cfg = dict(

@@ -74,6 +74,11 @@ class NuScenesDataset:
         self.img_norm = img_norm or dict(
             mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375))
         self.rng = np.random.RandomState(seed)
+        # loader worker threads call __getitem__ concurrently; the
+        # shared RandomState is only touched under this lock (one cheap
+        # seed draw), each sample then augments with its own stream
+        import threading
+        self._rng_lock = threading.Lock()
 
     def __len__(self):
         return len(self.keyframes)
@@ -91,8 +96,9 @@ class NuScenesDataset:
             path = os.path.join(self.data_root,
                                 info["data"][cam]["filename"])
             from PIL import Image
-            imgs.append(np.asarray(Image.open(path).convert("RGB"),
-                                   np.float32))
+            # uint8 until after the PIL warp (resize_crop_flip wants
+            # uint8; photometric/normalize promote to f32 themselves)
+            imgs.append(np.asarray(Image.open(path).convert("RGB")))
             img2global = get_img2global(info["data"][cam]["calib"],
                                         info["data"][cam]["pose"])
             lidar2img.append(np.linalg.inv(img2global) @ lidar2global)
@@ -105,10 +111,13 @@ class NuScenesDataset:
         occ_label, occ_cam_mask, occ_xyz = T.load_occupancy_surroundocc(
             label_file)
 
+        with self._rng_lock:
+            rng = np.random.RandomState(self.rng.randint(2 ** 31))
+
         # image aug
         if self.data_aug_conf is not None:
             aug = T.sample_augmentation(
-                self.rng,
+                rng,
                 H=self.data_aug_conf["H"], W=self.data_aug_conf["W"],
                 final_dim=self.data_aug_conf["final_dim"],
                 resize_lim=self.data_aug_conf["resize_lim"],
@@ -121,7 +130,7 @@ class NuScenesDataset:
             shapes = [im.shape[:2] for im in imgs]
 
         if self.photometric:
-            imgs = [T.photometric_distortion(im, self.rng) for im in imgs]
+            imgs = [T.photometric_distortion(im, rng) for im in imgs]
 
         img = T.normalize_images(imgs, **self.img_norm)
 

@@ -67,27 +67,70 @@ def _collate(samples):
 
 
 class DataLoader:
+    """``num_workers`` > 0 enables the multi-worker analog of the
+    reference torch DataLoader (dataset/__init__.py:30-53): a thread
+    pool loads+transforms samples concurrently (JPEG decode / PIL warps
+    release the GIL) while up to ``prefetch`` whole batches are kept in
+    flight ahead of the consumer, so the input pipeline overlaps the
+    accelerator step. Batch order and content are identical to the
+    synchronous path."""
+
     def __init__(self, dataset, batch_size: int = 1,
                  sampler: Optional[ShardedSampler] = None,
                  shuffle: bool = False, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, num_workers: int = 0,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler or ShardedSampler(
             len(dataset), shuffle=shuffle, seed=seed)
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self._pool = None
 
     def __len__(self):
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else \
             -(-n // self.batch_size)
 
+    def _batches(self):
+        idxs = list(self.sampler)
+        bs = self.batch_size
+        batches = [idxs[i:i + bs] for i in range(0, len(idxs), bs)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == bs]
+        return batches
+
     def __iter__(self):
-        batch = []
-        for idx in self.sampler:
-            batch.append(self.dataset[idx])
-            if len(batch) == self.batch_size:
-                yield _collate(batch)
-                batch = []
-        if batch and not self.drop_last:
-            yield _collate(batch)
+        if self.num_workers <= 0:
+            for batch in self._batches():
+                yield _collate([self.dataset[i] for i in batch])
+            return
+        yield from self._iter_prefetch()
+
+    def _iter_prefetch(self):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            # persistent pool: epochs re-iterate without re-spawning
+            self._pool = ThreadPoolExecutor(
+                self.num_workers, thread_name_prefix="dataloader")
+        batches = self._batches()
+        window: deque = deque()
+        bi = 0
+        try:
+            while bi < len(batches) or window:
+                while bi < len(batches) and len(window) < self.prefetch:
+                    window.append([
+                        self._pool.submit(self.dataset.__getitem__, i)
+                        for i in batches[bi]])
+                    bi += 1
+                yield _collate([f.result() for f in window.popleft()])
+        finally:
+            # consumer broke out mid-epoch: drain in-flight work so the
+            # next epoch starts clean (futures are cheap to finish)
+            for futs in window:
+                for f in futs:
+                    f.cancel()

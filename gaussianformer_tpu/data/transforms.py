@@ -106,13 +106,17 @@ def resize_crop_flip(imgs: Sequence[np.ndarray], aug: AugConfig,
     new_imgs = []
     new_l2i = lidar2img.copy()
     for i, img in enumerate(imgs):
-        im = Image.fromarray(np.uint8(img))
-        im = im.resize(aug.resize_dims)
+        im = Image.fromarray(img if img.dtype == np.uint8
+                             else np.uint8(img))
+        if im.size != tuple(aug.resize_dims):
+            im = im.resize(aug.resize_dims)
         im = im.crop(aug.crop)
         if aug.flip:
             im = im.transpose(method=Image.FLIP_LEFT_RIGHT)
-        im = im.rotate(aug.rotate)
-        new_imgs.append(np.asarray(im).astype(np.float32))
+        if aug.rotate:
+            im = im.rotate(aug.rotate)
+        # stays uint8: photometric/normalize promote to f32 themselves
+        new_imgs.append(np.asarray(im))
         new_l2i[i] = mat4 @ lidar2img[i]
     shapes = [x.shape[:2] for x in new_imgs]
     return new_imgs, new_l2i, shapes
@@ -120,35 +124,39 @@ def resize_crop_flip(imgs: Sequence[np.ndarray], aug: AugConfig,
 
 # ---------------------------------------------------------------- photometric
 def _rgb_to_hsv(img):
-    """Vectorized RGB[0..255] → HSV (H in [0,360), S,V in [0,1],[0,255])."""
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    maxc = np.max(img, axis=-1)
-    minc = np.min(img, axis=-1)
+    """Vectorized RGB[0..255] → HSV (H in [0,360), S in [0,1], V in
+    [0,255]). Single-divide formulation: h = (Δch)·(60/δ) + sector
+    offset, negatives wrapped by +360 — equal to the textbook
+    ((Δch/δ) mod 6)·60 piecewise form."""
+    r = np.ascontiguousarray(img[..., 0])
+    g = np.ascontiguousarray(img[..., 1])
+    b = np.ascontiguousarray(img[..., 2])
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
     v = maxc
     delta = maxc - minc
     s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
-    dz = np.maximum(delta, 1e-12)
-    h = np.where(maxc == r, (g - b) / dz % 6.0,
-                 np.where(maxc == g, (b - r) / dz + 2.0,
-                          (r - g) / dz + 4.0))
-    h = np.where(delta == 0, 0.0, h) * 60.0
+    inv = 60.0 / np.maximum(delta, 1e-12)
+    h = np.where(maxc == r, (g - b) * inv,
+                 np.where(maxc == g, (b - r) * inv + 120.0,
+                          (r - g) * inv + 240.0))
+    h = np.where(h < 0, h + 360.0, h)
+    h = np.where(delta == 0, 0.0, h)
     return np.stack([h, s, v], axis=-1)
 
 
 def _hsv_to_rgb(hsv):
-    h, s, v = hsv[..., 0] / 60.0, hsv[..., 1], hsv[..., 2]
-    i = np.floor(h) % 6
-    f = h - np.floor(h)
-    p = v * (1 - s)
-    q = v * (1 - s * f)
-    t = v * (1 - s * (1 - f))
-    r = np.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                  [v, q, p, p, t, v])
-    g = np.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                  [t, v, v, q, p, p])
-    b = np.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                  [p, p, t, v, v, q])
-    return np.stack([r, g, b], axis=-1)
+    """Branch-free exact inverse: ch(n) = v − v·s·clip(min(k, 4−k), 0, 1)
+    with k = (n + h/60) mod 6, n = (5, 3, 1) for (r, g, b)."""
+    h6 = hsv[..., 0] * (1.0 / 60.0)
+    s, v = hsv[..., 1], hsv[..., 2]
+    vs = v * s
+
+    def chan(n):
+        k = (n + h6) % 6.0
+        return v - vs * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return np.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def photometric_distortion(img: np.ndarray, rng: np.random.RandomState, *,
@@ -156,31 +164,43 @@ def photometric_distortion(img: np.ndarray, rng: np.random.RandomState, *,
                            contrast_range=(0.5, 1.5),
                            saturation_range=(0.5, 1.5),
                            hue_delta: float = 18.0) -> np.ndarray:
-    """Reference PhotoMetricDistortionMultiViewImage (transform_3d.py:181)."""
+    """Reference PhotoMetricDistortionMultiViewImage (transform_3d.py:181).
+
+    Gate draws happen in the reference order; the RGB→HSV→RGB round
+    trip (the pipeline's hottest CPU op) is skipped entirely when
+    neither the saturation nor the hue jitter fires (p = 1/4)."""
     img = img.astype(np.float32)
     if rng.randint(2):
-        img = img + rng.uniform(-brightness_delta, brightness_delta)
+        img += rng.uniform(-brightness_delta, brightness_delta)
     mode = rng.randint(2)
     if mode == 1 and rng.randint(2):
-        img = img * rng.uniform(*contrast_range)
-    hsv = _rgb_to_hsv(np.clip(img, 0, 255))
-    if rng.randint(2):
-        hsv[..., 1] = hsv[..., 1] * rng.uniform(*saturation_range)
-    if rng.randint(2):
-        hsv[..., 0] = hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)
-        hsv[..., 0] = hsv[..., 0] % 360.0
-    img = _hsv_to_rgb(hsv)
+        img *= rng.uniform(*contrast_range)
+    sat = rng.uniform(*saturation_range) if rng.randint(2) else None
+    hue = rng.uniform(-hue_delta, hue_delta) if rng.randint(2) else None
+    if sat is not None or hue is not None:
+        hsv = _rgb_to_hsv(np.clip(img, 0, 255))
+        if sat is not None:
+            hsv[..., 1] *= sat
+        if hue is not None:
+            hsv[..., 0] = (hsv[..., 0] + hue) % 360.0
+        img = _hsv_to_rgb(hsv)
+    else:
+        np.clip(img, 0, 255, out=img)
     if mode == 0 and rng.randint(2):
-        img = img * rng.uniform(*contrast_range)
+        img *= rng.uniform(*contrast_range)
     if rng.randint(2):
-        img = img[..., rng.permutation(3)]
+        img = np.ascontiguousarray(img[..., rng.permutation(3)])
     return img
 
 
 def normalize_images(imgs: Sequence[np.ndarray], mean, std) -> np.ndarray:
     mean = np.asarray(mean, np.float32)
-    std = np.asarray(std, np.float32)
-    return np.stack([(im - mean) / std for im in imgs]).astype(np.float32)
+    inv_std = 1.0 / np.asarray(std, np.float32)
+    out = np.empty((len(imgs),) + tuple(imgs[0].shape), np.float32)
+    for i, im in enumerate(imgs):
+        np.subtract(im, mean, out=out[i], casting="unsafe")
+        out[i] *= inv_std
+    return out
 
 
 # ----------------------------------------------------------------- occupancy

@@ -107,6 +107,11 @@ class DeformConv2d(nn.Module):
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
+    # Pallas window size (multiple of 8, > tile+3). Samples beyond
+    # ±(win-tile-3)/2 feature px of their tap are dropped — widen via
+    # the config's ``dcn_win`` if utils.check_dcn_offset_margin flags a
+    # checkpoint whose learned offsets exceed the margin.
+    win: int = 24
 
     @nn.compact
     def __call__(self, x, epilogue=None):
@@ -123,7 +128,7 @@ class DeformConv2d(nn.Module):
             "kernel", nn.initializers.he_normal(),
             (k, k, x.shape[-1], self.features))
 
-        win = 24
+        win = self.win
         # Observability for the Pallas kernel's static window: samples
         # beyond ±(win - tile - 3)/2 px of their tap are dropped (value
         # AND gradient). Sown so a forward with
@@ -164,6 +169,7 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fuse_dcn_epilogue: bool = False   # inference: bn2+relu inside the
                                       # Pallas DCN kernel (forward-only)
+    dcn_win: int = 24
 
     @nn.compact
     def __call__(self, x):
@@ -179,10 +185,12 @@ class Bottleneck(nn.Module):
         if self.with_dcn and self.fuse_dcn_epilogue:
             out = DeformConv2d(self.planes, 3, stride=s2,
                                dilation=self.dilation, dtype=self.dtype,
+                               win=self.dcn_win,
                                name="conv2")(out, epilogue=bn2(None))
         elif self.with_dcn:
             out = DeformConv2d(self.planes, 3, stride=s2,
                                dilation=self.dilation, dtype=self.dtype,
+                               win=self.dcn_win,
                                name="conv2")(out)
             out = nn.relu(bn2(out))
         else:
@@ -251,6 +259,7 @@ class ResNetStage(nn.Module):
     with_dcn: bool = False
     dtype: jnp.dtype = jnp.float32
     fuse_dcn_epilogue: bool = False
+    dcn_win: int = 24
 
     @nn.compact
     def __call__(self, x):
@@ -260,7 +269,8 @@ class ResNetStage(nn.Module):
             blk_stride = self.stride if j == 0 else 1
             need_ds = j == 0 and (
                 blk_stride != 1 or x.shape[-1] != self.planes * expansion)
-            extra = ({"fuse_dcn_epilogue": self.fuse_dcn_epilogue}
+            extra = ({"fuse_dcn_epilogue": self.fuse_dcn_epilogue,
+                      "dcn_win": self.dcn_win}
                      if self.block == "bottleneck" else {})
             x = block_cls(
                 planes=self.planes, stride=blk_stride,
@@ -284,6 +294,9 @@ class ResNet(nn.Module):
     # inference-only: fold bn2+relu into the Pallas DCN kernel epilogue
     # (forward-only path; the segmentor sets this when not training)
     fuse_dcn_epilogue: bool = False
+    # Pallas DCN sampling window; widen (multiples of 8) when
+    # utils.check_dcn_offset_margin reports out-of-margin offsets
+    dcn_win: int = 24
 
     @nn.compact
     def __call__(self, x):
@@ -314,6 +327,7 @@ class ResNet(nn.Module):
                 dilation=self.dilations[i], style=self.style,
                 with_dcn=self.stage_with_dcn[i], dtype=self.dtype,
                 fuse_dcn_epilogue=self.fuse_dcn_epilogue,
+                dcn_win=self.dcn_win,
                 name=f"stage{i + 1}")(x)
             if i in self.out_indices:
                 outs.append(x)

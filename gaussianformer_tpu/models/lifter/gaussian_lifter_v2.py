@@ -74,6 +74,7 @@ class GaussianLifterV2(nn.Module):
     initializer_base_channels: int = 64
     initializer_out_channels: tuple = (128, 128, 128, 128)
     initializer_dtype: str = "float32"
+    dcn_win: int = 24
     gt_bin_chunk: int = 16
 
     def _depth_bins(self):
@@ -97,6 +98,7 @@ class GaussianLifterV2(nn.Module):
                 out_channels=tuple(self.initializer_out_channels),
                 dtype=self.initializer_dtype,
                 fuse_dcn_epilogue=fuse_dcn_epilogue,
+                dcn_win=self.dcn_win,
                 name="initialize_backbone")(
                 imgs.reshape((b * n,) + imgs.shape[2:]))
             secondfpn_out = feat.reshape((b, n) + feat.shape[1:])

@@ -22,6 +22,7 @@ class ResNetSecondFPN(nn.Module):
     upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4)
     dtype: str = "float32"
     fuse_dcn_epilogue: bool = False
+    dcn_win: int = 24
 
     @nn.compact
     def __call__(self, imgs):
@@ -33,6 +34,7 @@ class ResNetSecondFPN(nn.Module):
             style=self.style, stage_with_dcn=self.stage_with_dcn,
             with_cp=self.with_cp, base_channels=self.base_channels,
             dtype=dt, fuse_dcn_epilogue=self.fuse_dcn_epilogue,
+            dcn_win=self.dcn_win,
             name="img_backbone")(imgs)
         out = SECONDFPN(
             out_channels=self.out_channels,

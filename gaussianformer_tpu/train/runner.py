@@ -175,12 +175,20 @@ class Trainer:
         return tuple(sorted(extra.tolist() + [d - 1]))
 
     def load_torch_pretrained(self, backbone_path: Optional[str] = None,
-                              lifter_init_path: Optional[str] = None):
+                              lifter_init_path: Optional[str] = None,
+                              check_margin: bool = True):
         """Load reference PyTorch pretrains into the live state:
         ``backbone_path`` = r101_dcn_fcos3d_pretrain.pth (reference
         load_from, train.py:156-167), ``lifter_init_path`` = the
         GaussianLifterV2 initializer (init.pth, reference
-        gaussian_lifter_v2.py:109-117, anchor/instance_feature dropped)."""
+        gaussian_lifter_v2.py:109-117, anchor/instance_feature dropped).
+
+        ``check_margin``: after loading, run one forward over the first
+        train/val batch collecting per-DCN-block max |offset| and verify
+        it fits the Pallas kernel's static window (``cfg.dcn_win``);
+        out-of-margin offsets would silently drop samples (value AND
+        gradient), so the model is rebuilt with a wider window instead
+        (see :meth:`verify_dcn_margin`)."""
         import torch
         from ..utils.torch_convert import (convert_backbone_and_neck,
                                            convert_initializer, merge_into)
@@ -209,6 +217,71 @@ class Trainer:
         self._state = self._state.replace(
             params=variables["params"],
             batch_stats=variables["batch_stats"])
+        if check_margin and (backbone_path or lifter_init_path):
+            loader = self.train_loader or self.val_loader
+            if loader is not None:
+                self.verify_dcn_margin(next(iter(loader)))
+            else:
+                logger.warning(
+                    "load_torch_pretrained: no loader available to "
+                    "verify the DCN offset margin — run "
+                    "Trainer.verify_dcn_margin(batch) before training "
+                    "(out-of-margin offsets silently drop samples).")
+
+    def verify_dcn_margin(self, batch, *, auto_widen: bool = True):
+        """Check the loaded checkpoint's DCN offsets against the Pallas
+        kernel's representable window (utils.check_dcn_offset_margin).
+
+        Out-of-margin offsets are a silent-wrong-features hazard: the
+        fused kernel drops bilinear corners beyond ±(win-tile-3)/2 px of
+        their static tap. On failure this either rebuilds the model with
+        the next sufficient window (``auto_widen=True``, steps re-jitted;
+        parameters are unaffected — the window is a static kernel shape)
+        or raises naming the ``cfg.dcn_win`` knob."""
+        import dataclasses
+
+        from ..utils import check_dcn_offset_margin
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        res = check_dcn_offset_margin(
+            self.model, {"params": self._state.params,
+                         "batch_stats": self._state.batch_stats},
+            batch, win=self.cfg.dcn_win)
+        if res["ok"]:
+            logger.info("DCN offset margin OK: max |offset| %.2f px <= "
+                        "margin %.2f px (dcn_win=%d)", res["max_offset"],
+                        res["margin"], self.cfg.dcn_win)
+            return res
+        # needed: margin >= max_offset  =>  win >= 2*max_offset + tile + 3
+        needed = int(np.ceil(2.0 * res["max_offset"])) + 8 + 3
+        needed = (needed + 7) // 8 * 8
+        if not auto_widen:
+            raise ValueError(
+                f"DCN offsets out of margin: max |offset| "
+                f"{res['max_offset']:.2f} px > margin {res['margin']:.2f} "
+                f"px for dcn_win={self.cfg.dcn_win}. Rebuild with config "
+                f"dcn_win={needed} (dataclasses.replace(cfg, "
+                f"dcn_win={needed})) or samples will be silently "
+                f"dropped.")
+        logger.error(
+            "DCN offsets out of margin: max |offset| %.2f px > margin "
+            "%.2f px (dcn_win=%d). Rebuilding the model with dcn_win=%d "
+            "— parameters unchanged, steps re-jitted.", res["max_offset"],
+            res["margin"], self.cfg.dcn_win, needed)
+        self.cfg = dataclasses.replace(self.cfg, dcn_win=needed)
+        # clone (not rebuild from cfg) so live module overrides survive;
+        # the window is a static kernel shape, not a parameter
+        backbone_cfg = dict(self.model.backbone_cfg or {})
+        backbone_cfg["dcn_win"] = needed
+        lifter_cfg = dict(self.model.lifter_cfg or {})
+        if self.model.lifter_type == "v2":
+            lifter_cfg["dcn_win"] = needed
+        self.model = self.model.clone(backbone_cfg=backbone_cfg,
+                                      lifter_cfg=lifter_cfg)
+        self._make_steps()
+        return check_dcn_offset_margin(
+            self.model, {"params": self._state.params,
+                         "batch_stats": self._state.batch_stats},
+            batch, win=needed)
 
     # ------------------------------------------------------------- resume
     def try_resume(self):

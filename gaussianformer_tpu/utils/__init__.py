@@ -41,3 +41,80 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
     max_off = max(per_block.values(), default=0.0)
     return {"max_offset": max_off, "margin": margin,
             "per_block": per_block, "ok": max_off <= margin}
+
+
+def suggest_dcn_win(max_offset: float, *, tile: int = 8) -> int:
+    """Smallest window (multiple of 8) whose margin covers
+    ``max_offset``: margin = (win - tile - 3)/2 >= max_offset."""
+    import math
+    needed = int(math.ceil(2.0 * max_offset)) + tile + 3
+    return (needed + 7) // 8 * 8
+
+
+def check_dcn_offset_margin_towers(params, batch_stats, cfg, *,
+                                   image_size=(256, 448), rng=None,
+                                   backbone_cfg=None,
+                                   initializer_cfg=None):
+    """Tower-only DCN offset-margin check for converted checkpoints.
+
+    Runs JUST the two image towers (main R101 backbone and the lifter
+    initializer tower) on synthetic normalized images — cheap enough for
+    the converter CLI on CPU, where a full-model forward is not. The
+    offsets are activations of the zero-to-trained ``conv_offset`` convs,
+    so their magnitude is checkpoint-dependent; synthetic ~N(0,1) inputs
+    (the scale of mean/std-normalized images) give a representative
+    bound. Returns the merged result dict of
+    :func:`check_dcn_offset_margin` plus ``suggested_win``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.backbone.resnet import ResNet
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    win = getattr(cfg, "dcn_win", 24)
+    margin = (win - 8 - 3) / 2.0
+    h, w = image_size
+    imgs = jax.random.normal(rng, (1, h, w, 3), jnp.float32)
+
+    towers = []
+    if "img_backbone" in params:
+        towers.append(("img_backbone",
+                       dict(backbone_cfg or cfg.backbone_cfg(),
+                            with_cp=False),
+                       params["img_backbone"],
+                       batch_stats.get("img_backbone", {})))
+    lift = params.get("lifter", {})
+    if "initialize_backbone" in lift:
+        towers.append((
+            "lifter/initialize_backbone/img_backbone",
+            dict(initializer_cfg
+                 or dict(depth=101, style="caffe",
+                         stage_with_dcn=(False, False, True, True),
+                         dtype=cfg.compute_dtype, dcn_win=win),
+                 with_cp=False),
+            lift["initialize_backbone"]["img_backbone"],
+            batch_stats["lifter"]["initialize_backbone"]["img_backbone"]))
+
+    per_block = {}
+    for name, bcfg, p, bs in towers:
+        import jax.numpy as jnp  # noqa: F811
+        bcfg["dtype"] = jnp.dtype(bcfg.get("dtype", "float32"))
+        model = ResNet(**bcfg)
+        _, inter = model.apply({"params": p, "batch_stats": bs}, imgs,
+                               mutable=["intermediates"])
+
+        def walk(tree, path):
+            for k, v in tree.items():
+                if k == "dcn_offset_max":
+                    per_block[path] = float(jax.device_get(
+                        jnp.max(jnp.stack(list(v)))))
+                elif isinstance(v, dict):
+                    walk(v, f"{path}/{k}")
+
+        # a tower with no DCN stages sows nothing at all
+        walk(inter.get("intermediates", {}), name)
+    max_off = max(per_block.values(), default=0.0)
+    return {"max_offset": max_off, "margin": margin,
+            "per_block": per_block, "ok": max_off <= margin,
+            "suggested_win": suggest_dcn_win(max_off)}

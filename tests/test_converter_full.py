@@ -270,6 +270,47 @@ def test_full_checkpoint_coverage(model_shapes):
     assert not uncovered_stats, f"stats missed: {uncovered_stats[:20]}"
 
 
+def test_converted_checkpoint_dcn_margin_towers():
+    """The converter's tower-only DCN margin check flags a state_dict
+    whose conv_offset weights produce out-of-window offsets and suggests
+    the sufficient dcn_win."""
+    from gaussianformer_tpu.utils import check_dcn_offset_margin_towers
+
+    cfg, seg = small_cfg()
+    sd = synth_full_state_dict(cfg.operation_order)
+    # DCNv2 checkpoints learn small offsets from a zero init; the synth
+    # fixture's randn conv_offset weights are unrealistically hot — zero
+    # them for the in-margin case
+    for k in sd:
+        if "conv_offset" in k:
+            sd[k] = np.zeros_like(sd[k])
+    params, stats, unmapped = convert_full_state_dict(
+        sd, cfg.operation_order, lifter="v2")
+    assert unmapped == []
+
+    bcfg = dict(seg["backbone_cfg"])
+    icfg = dict(depth=18, style="caffe", base_channels=8,
+                stage_with_dcn=(False,) * 4, dtype="float32")
+    res = check_dcn_offset_margin_towers(
+        params, stats, cfg, image_size=(64, 96),
+        backbone_cfg=bcfg, initializer_cfg=icfg)
+    assert res["per_block"], "no DCN blocks collected"
+    assert res["ok"] and res["max_offset"] == 0.0
+
+    # inflate one conv_offset bias far out of margin → flagged + suggest
+    sd2 = dict(sd)
+    sd2["img_backbone.layer3.0.conv2.conv_offset.bias"] = (
+        np.full(27, 30.0))
+    params2, stats2, _ = convert_full_state_dict(
+        sd2, cfg.operation_order, lifter="v2")
+    res2 = check_dcn_offset_margin_towers(
+        params2, stats2, cfg, image_size=(64, 96),
+        backbone_cfg=bcfg, initializer_cfg=icfg)
+    assert not res2["ok"]
+    assert res2["suggested_win"] >= 2 * res2["max_offset"] + 11
+    assert res2["suggested_win"] % 8 == 0
+
+
 def test_head_empty_scalar_and_v1_lifter():
     sd = {
         "head.empty_scalar": np.array([10.0]),

@@ -302,3 +302,74 @@ def test_two_process_trainer_feed(tmp_path):
 
     for a, b in zip(results[0]["losses"], ref_losses):
         assert abs(a - b) < 2e-4, (results[0]["losses"], ref_losses)
+
+
+def test_voxel_sharded_splat_matches_unsharded():
+    """The head's shard_map voxel-parallel splat (model axis, Gaussians
+    replicated) must match the unsharded splat numerically — forward
+    AND gradients (the transpose's psum over replicated Gaussian
+    inputs) — at a non-trivial size. Pins down the `check_vma=False`
+    escape hatch on that path (gaussian_head.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gaussianformer_tpu.models.head.gaussian_head import GaussianHead
+    from gaussianformer_tpu.models.encoder.modules import GaussianPrediction
+    from gaussianformer_tpu.ops.splat import SplatGridSpec
+
+    H, W, D = 16, 16, 8          # 2048 voxels, divisible by model=4
+    B, P = 1, 96
+    grid = SplatGridSpec(H=H, W=W, D=D, pc_min=(-16.0, -16.0, -4.0),
+                         grid_size=2.0, scale_multiplier=4.0, radii_min=1)
+    head = GaussianHead(apply_loss_type="all", use_localaggprob=True,
+                        combine_geosem=True, grid=grid,
+                        splat_tile_n=256, splat_chunk_g=16)
+    rng = np.random.RandomState(7)
+    means = jnp.asarray(rng.uniform(-14, 14, (B, P, 3)), jnp.float32)
+    means = means.at[..., 2].set(
+        jnp.asarray(rng.uniform(-3, 3, (B, P)), jnp.float32))
+    scales = jnp.asarray(rng.uniform(0.3, 1.5, (B, P, 3)), jnp.float32)
+    rots = jnp.asarray(rng.randn(B, P, 4), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 1.0, (B, P, 1)), jnp.float32)
+    sem = jnp.asarray(rng.randn(B, P, 17), jnp.float32)
+
+    xs = (np.arange(H) + 0.5) * 2.0 - 16.0
+    ys = (np.arange(W) + 0.5) * 2.0 - 16.0
+    zs = (np.arange(D) + 0.5) * 2.0 - 4.0
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    occ_xyz = jnp.asarray(np.stack([gx, gy, gz], -1)[None], jnp.float32)
+    kw = dict(occ_label=jnp.zeros((B, H, W, D), jnp.int32),
+              occ_cam_mask=jnp.ones((B, H, W, D), bool), training=True)
+
+    def fwd(means, sem):
+        gp = GaussianPrediction(means=means, scales=scales,
+                                rotations=rots, opacities=opac,
+                                semantics=sem)
+        out = head.apply({"params": {}}, [gp], occ_xyz=occ_xyz, **kw)
+        return (out["pred_occ"][0], out["bin_logits"][0],
+                out["density"][0])
+
+    def loss(means, sem):
+        p, b, d = fwd(means, sem)
+        return (jnp.sum(p * p) + jnp.sum(b) * 0.5
+                + jnp.sum(jnp.tanh(d)))
+
+    ref_out = jax.jit(fwd)(means, sem)
+    ref_g = jax.jit(jax.grad(loss, argnums=(0, 1)))(means, sem)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4),
+                ("data", "model"))
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+    rep = NamedSharding(mesh, PSpec())
+    means_m, sem_m = jax.device_put(means, rep), jax.device_put(sem, rep)
+    with mesh, jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+        sh_out = jax.jit(fwd)(means_m, sem_m)
+        sh_g = jax.jit(jax.grad(loss, argnums=(0, 1)))(means_m, sem_m)
+
+    for a, b in zip(ref_out, sh_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(ref_g, sh_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -104,3 +104,28 @@ def test_dataloader_batches():
     assert len(batches) == 2
     assert batches[0]["imgs"].shape == (2, 2, 32, 48, 3)
     assert batches[0]["occ_label"].shape == (2, 10, 10, 4)
+
+
+def test_dataloader_prefetch_matches_sync():
+    """The threaded prefetch loader yields byte-identical batches in the
+    same order as the synchronous path, across epochs (reference
+    num_workers analog, dataset/__init__.py:30-53)."""
+    ds = SyntheticOccDataset(num_samples=7, num_cams=2,
+                             image_size=(32, 48), grid=(10, 10, 4))
+    sync = DataLoader(ds, 2, shuffle=True, seed=3)
+    pre = DataLoader(ds, 2, shuffle=True, seed=3, num_workers=3,
+                     prefetch=2)
+    for epoch in range(2):
+        sync.sampler.set_epoch(epoch)
+        pre.sampler.set_epoch(epoch)
+        a, b = list(sync), list(pre)
+        assert len(a) == len(b) == len(pre) == 3  # drop_last
+        for ba, bb in zip(a, b):
+            assert sorted(ba) == sorted(bb)
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+    # early break mid-epoch leaves the loader reusable
+    it = iter(pre)
+    next(it)
+    it.close()
+    assert len(list(pre)) == 3

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--strict", action="store_true",
                     help="fail on any unmapped reference key")
+    ap.add_argument("--skip-dcn-margin-check", action="store_true",
+                    help="skip the DCN offset-margin tower check")
+    ap.add_argument("--allow-out-of-margin", action="store_true",
+                    help="write the checkpoint even if DCN offsets "
+                         "exceed the Pallas window margin")
     args = ap.parse_args()
 
     import numpy as np
@@ -49,6 +54,25 @@ def main():
             print("  ", k)
         if args.strict:
             raise SystemExit(1)
+
+    if not args.skip_dcn_margin_check:
+        # Out-of-margin DCN offsets are a silent-wrong-features hazard:
+        # the fused Pallas kernel drops bilinear corners beyond
+        # ±(dcn_win-11)/2 px of their static tap (value AND gradient).
+        from gaussianformer_tpu.utils import check_dcn_offset_margin_towers
+        res = check_dcn_offset_margin_towers(params, stats, cfg)
+        print(f"DCN offset margin: max |offset| {res['max_offset']:.2f} px"
+              f" vs margin {res['margin']:.2f} px (dcn_win="
+              f"{cfg.dcn_win}) -> {'OK' if res['ok'] else 'EXCEEDED'}")
+        if not res["ok"]:
+            msg = (f"checkpoint offsets need dcn_win="
+                   f"{res['suggested_win']}: evaluate with "
+                   f"dataclasses.replace(get_config({args.config!r}), "
+                   f"dcn_win={res['suggested_win']}) or rerun with "
+                   f"--allow-out-of-margin to write anyway")
+            if not args.allow_out_of_margin:
+                raise SystemExit("ERROR: " + msg)
+            print("WARNING:", msg)
 
     leaves = sum(1 for _ in _walk(params))
     print(f"writing {leaves} param tensors + "

@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--synthetic-samples", type=int, default=8)
     ap.add_argument("--print-freq", type=int, default=50)
+    ap.add_argument("--num-workers", type=int, default=4,
+                    help="data-loading threads (0 = synchronous); the "
+                         "reference torch DataLoader num_workers analog")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone-pretrain", default=None,
                     help="torch ckpt for backbone+neck "
@@ -67,10 +70,10 @@ def main():
     # dataset/sampler.py:12-137)
     train_loader = DataLoader(train_ds, batch_size, sampler=ShardedSampler(
         len(train_ds), shard_id=proc_id, num_shards=num_procs,
-        shuffle=True, seed=args.seed))
+        shuffle=True, seed=args.seed), num_workers=args.num_workers)
     val_loader = DataLoader(val_ds, batch_size, sampler=ShardedSampler(
         len(val_ds), shard_id=proc_id, num_shards=num_procs,
-        shuffle=False))
+        shuffle=False), num_workers=args.num_workers)
 
     trainer = Trainer(cfg, train_loader, val_loader, args.work_dir,
                       seed=args.seed, print_freq=args.print_freq)
