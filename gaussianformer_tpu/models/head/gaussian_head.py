@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.covariance import build_covariance_inverse6
-from ...ops.splat import SplatGridSpec, splat
+from ...ops.splat import SplatGridSpec, splat, splat_deferred
 from ..encoder.modules import GaussianPrediction
 
 
@@ -193,8 +193,8 @@ class GaussianHead(nn.Module):
 
             def splat_call(pts, m_, o_, s_, sc_, ci_):
                 if defer:
-                    return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
-                                 defer_unpatch=True, **splat_kw)
+                    return splat_deferred(pts, m_, o_, s_, sc_, ci_,
+                                          self.grid, **splat_kw)
                 return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
                              **splat_kw), (lambda a: a)
 

@@ -262,13 +262,88 @@ def _splat_single(points, points_int, means, means_int, opacities, semantics,
     return logits, bin_logits, density
 
 
+def _patch_permuters(grid: SplatGridSpec, b: int, zrun: int, tile_n: int,
+                     num_points: int):
+    """PATCH-TILE reorder helpers (see splat() body): returns
+    (eligible, to_patch, from_patch) for re-rastering the voxel grid
+    into (8 x 4 x D) patches so each kernel tile has a ~4x tighter
+    AABB footprint. Pure static reshape/transpose permutations."""
+    px, py = 8, 4
+    eligible = (zrun and tile_n == px * py * grid.D
+                and grid.H % px == 0 and grid.W % py == 0
+                and num_points == grid.num_voxels)
+
+    def to_patch(a):
+        d = a.shape[-1]
+        return a.reshape(b, grid.H // px, px, grid.W // py, py,
+                         grid.D, d).transpose(
+            0, 1, 3, 2, 4, 5, 6).reshape(b, -1, d)
+
+    def from_patch(a):
+        flat = a.ndim == 2
+        if flat:
+            a = a[..., None]
+        d = a.shape[-1]
+        a = a.reshape(b, grid.H // px, grid.W // py, px, py,
+                      grid.D, d).transpose(
+            0, 1, 3, 2, 4, 5, 6).reshape(b, -1, d)
+        return a[..., 0] if flat else a
+
+    return eligible, to_patch, from_patch
+
+
+def splat_deferred(points, means, opacities, semantics, scales, cov_inv6,
+                   grid: SplatGridSpec, *, variant: str = "prob",
+                   per_axis_radii: bool = True, tile_n: int = 8192,
+                   chunk_g: int = 128, backend: str = "auto",
+                   pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
+                   grid_ordered: bool = False, interpret: bool = False):
+    """INFERENCE-ONLY splat returning ``(outs, unpatch)``.
+
+    On the eligible Pallas patch-tile path the outputs stay in the
+    kernel's patch-tile / z-major row order and ``unpatch(a)`` restores
+    voxel order for [B, N] / [B, N, C] tensors — elementwise consumers
+    (logits combine, argmax) run in kernel order and only the final
+    labels pay the [640k, C]-sized relayout (~3 ms/frame on v5e).
+    Everywhere else it falls back to :func:`splat` with an identity
+    unpatch. Bypasses the custom-VJP wrapper: NOT differentiable on the
+    pallas backend."""
+    kw = dict(variant=variant, per_axis_radii=per_axis_radii,
+              tile_n=tile_n, chunk_g=chunk_g, backend=backend,
+              pallas_tile_n=pallas_tile_n, pallas_chunk_g=pallas_chunk_g,
+              grid_ordered=grid_ordered, interpret=interpret)
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                   else "xla")
+    zrun = grid.D if grid_ordered else 0
+    patch, to_patch, from_patch = _patch_permuters(
+        grid, points.shape[0], zrun, pallas_tile_n, points.shape[1])
+    if backend != "pallas" or not patch:
+        return (splat(points, means, opacities, semantics, scales,
+                      cov_inv6, grid, **kw), lambda a: a)
+
+    from .pallas.splat_kernel import unpermute_zrun
+    outs = _splat_pallas_fwd_only(
+        to_patch(points), means, opacities, semantics, scales, cov_inv6,
+        grid, variant, per_axis_radii, pallas_tile_n, pallas_chunk_g,
+        interpret, zrun=zrun, defer_zrun=True)
+
+    def unpatch(a):
+        flat = a.ndim == 2
+        a2 = a[..., None] if flat else a
+        a2 = unpermute_zrun(a2, zrun, pallas_tile_n)
+        a2 = from_patch(a2)
+        return a2[..., 0] if flat else a2
+
+    return outs, unpatch
+
+
 def splat(points, means, opacities, semantics, scales, cov_inv6,
           grid: SplatGridSpec, *, variant: str = "prob",
           per_axis_radii: bool = True, tile_n: int = 8192,
           chunk_g: int = 128, backend: str = "auto",
           pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
-          grid_ordered: bool = False, interpret: bool = False,
-          defer_unpatch: bool = False):
+          grid_ordered: bool = False, interpret: bool = False):
     """Batched Gaussian→voxel splat.
 
     Args:
@@ -288,20 +363,12 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
                  exponent path (~2x on its VPU-bound build). Output
                  order is unchanged. Only the caller can know this, so
                  it is opt-in (the head sets it).
-      defer_unpatch: INFERENCE ONLY (bypasses the custom-VJP wrapper).
-                 Return the outputs still in the kernel's patch-tile /
-                 z-major row order together with an ``unpatch(a)``
-                 callable restoring voxel order for [B, N] / [B, N, C]
-                 tensors. Elementwise consumers (logits combine, argmax)
-                 can then run in kernel order and only the final labels
-                 pay the [640k, C]-sized relayout (~3 ms/frame on v5e).
-                 Returns ``(outs, unpatch)``; unpatch is identity when
-                 the patch path was not eligible.
-
     Returns:
       additive: (logits [B, N, C],)
       prob:     (logits [B, N, C], bin_logits [B, N], density [B, N])
-      with defer_unpatch: (outs_tuple, unpatch_fn)
+
+    For the inference-only deferred-relayout variant see
+    :func:`splat_deferred`.
     """
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() not in ("cpu",)
@@ -316,45 +383,10 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
         # 512-voxel tile is an 8x4 column block with a ~4x tighter
         # footprint. Pure reordering: results are inverse-permuted, the
         # kernel's bounds come from the permuted coords.
-        px, py = 8, 4
-        patch = (zrun and pallas_tile_n == px * py * grid.D
-                 and grid.H % px == 0 and grid.W % py == 0
-                 and points.shape[1] == grid.num_voxels)
+        patch, to_patch, from_patch = _patch_permuters(
+            grid, points.shape[0], zrun, pallas_tile_n, points.shape[1])
         if patch:
-            b = points.shape[0]
-
-            def to_patch(a):
-                d = a.shape[-1]
-                return a.reshape(b, grid.H // px, px, grid.W // py, py,
-                                 grid.D, d).transpose(
-                    0, 1, 3, 2, 4, 5, 6).reshape(b, -1, d)
-
-            def from_patch(a):
-                flat = a.ndim == 2
-                if flat:
-                    a = a[..., None]
-                d = a.shape[-1]
-                a = a.reshape(b, grid.H // px, grid.W // py, px, py,
-                              grid.D, d).transpose(
-                    0, 1, 3, 2, 4, 5, 6).reshape(b, -1, d)
-                return a[..., 0] if flat else a
-
             points = to_patch(points)
-        if defer_unpatch and patch:
-            from .pallas.splat_kernel import unpermute_zrun
-            outs = _splat_pallas_fwd_only(
-                points, means, opacities, semantics, scales, cov_inv6,
-                grid, variant, per_axis_radii, pallas_tile_n,
-                pallas_chunk_g, interpret, zrun=zrun, defer_zrun=True)
-
-            def unpatch(a):
-                flat = a.ndim == 2
-                a2 = a[..., None] if flat else a
-                a2 = unpermute_zrun(a2, zrun, pallas_tile_n)
-                a2 = from_patch(a2)
-                return a2[..., 0] if flat else a2
-
-            return outs, unpatch
         outs = _splat_pallas(points, means, opacities, semantics, scales,
                              cov_inv6, grid, variant=variant,
                              per_axis_radii=per_axis_radii,
@@ -362,7 +394,7 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
                              zrun=zrun, interpret=interpret)
         if patch:
             outs = tuple(from_patch(o) for o in outs)
-        return (outs, lambda a: a) if defer_unpatch else outs
+        return outs
 
     points = jax.lax.stop_gradient(points)
     points_int = grid.voxelize(points)
@@ -378,9 +410,8 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
             points[bi], points_int[bi], means[bi], means_int[bi],
             opacities[bi], semantics[bi], radii[bi], cov_inv6[bi],
             variant=variant, tile_n=tile_n, chunk_g=chunk_g))
-    result = tuple(jnp.stack([o[k] for o in outs])
-                   for k in range(len(outs[0])))
-    return (result, lambda a: a) if defer_unpatch else result
+    return tuple(jnp.stack([o[k] for o in outs])
+                 for k in range(len(outs[0])))
 
 
 # ---------------------------------------------------------------------------

@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gaussianformer_tpu.ops.splat import SplatGridSpec, splat
+from gaussianformer_tpu.ops.splat import (SplatGridSpec, splat,
+                                           splat_deferred)
 from tests.test_splat import GRID, make_problem
 
 
@@ -190,7 +191,7 @@ def test_pallas_patch_tiles_match_xla(variant):
 
 
 def test_pallas_defer_unpatch_matches():
-    """defer_unpatch=True returns kernel-order rows + an unpatch callable
+    """splat_deferred returns kernel-order rows + an unpatch callable
     whose composition reproduces the eager (voxel-order) outputs, for
     both [B, N, C] and flat [B, N] tensors (the head defers the voxel
     relayout past its elementwise logits/argmax math at inference)."""
@@ -219,7 +220,7 @@ def test_pallas_defer_unpatch_matches():
               grid_ordered=True, pallas_tile_n=256, pallas_chunk_g=8,
               interpret=True)
     eager = splat(*args, grid, **kw)
-    deferred, unpatch = splat(*args, grid, defer_unpatch=True, **kw)
+    deferred, unpatch = splat_deferred(*args, grid, **kw)
     for a, b in zip(deferred, eager):
         np.testing.assert_allclose(np.asarray(unpatch(a)), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
@@ -229,8 +230,8 @@ def test_pallas_defer_unpatch_matches():
         np.asarray(unpatch(lbl_k)),
         np.asarray(jnp.argmax(eager[0], axis=-1)))
     # identity fallback when the patch path is ineligible (xla backend)
-    outs2, ident = splat(*args, grid, variant="prob", backend="xla",
-                         defer_unpatch=True)
+    outs2, ident = splat_deferred(*args, grid, variant="prob",
+                                  backend="xla")
     for a, b in zip(outs2, splat(*args, grid, variant="prob",
                                  backend="xla")):
         np.testing.assert_allclose(np.asarray(ident(a)), np.asarray(b))
