@@ -26,6 +26,7 @@ from ...ops.dcn import deform_conv2d
 
 ARCH_SETTINGS = {
     18: ("basic", (2, 2, 2, 2)),
+    26: ("bottleneck", (1, 1, 1, 1)),   # tiny bottleneck (tests)
     34: ("basic", (3, 4, 6, 3)),
     50: ("bottleneck", (3, 4, 6, 3)),
     101: ("bottleneck", (3, 4, 23, 3)),
@@ -33,40 +34,48 @@ ARCH_SETTINGS = {
 }
 
 
-class StemConv(nn.Module):
+def stem_conv_apply(x, kernel, dtype):
     """The ResNet stem (7x7, stride 2, pad 3, no bias) computed on a
     2x2 space-to-depth input.
 
     A direct C_in=3 conv runs at ~6 TF/s on TPU (the MXU contraction is
     3/128 occupied); re-indexing to a 4x4 stride-1 conv over 12-channel
     2x2-blocked input is bit-identical math at 4x the contraction depth
-    and ~1/4 the taps. The parameter keeps the reference [7,7,3,F]
-    layout (checkpoint-compatible with nn.Conv's {kernel}):
+    and ~1/4 the taps. ``kernel`` keeps the reference [7,7,C,F] layout:
     out[y] = sum_ky in[2y+ky-3] W[ky] with ky = 2A+dy-1, A in 0..3,
     dy in {0,1}, so W2[A,B,(dy,dx,c)] = Wpad[2A+dy, 2B+dx, c] and the
-    sliding window runs over s2d rows y-2..y+1 (asym padding (2,1))."""
+    sliding window runs over s2d rows y-2..y+1 (asym padding (2,1)).
+    The paired-trunk path stacks two towers' kernels along the output
+    axis (shared input → plain conv, no grouping needed)."""
+    b, h, w, c = x.shape
+    features = kernel.shape[-1]
+    if h % 2 or w % 2:
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wp.reshape(4, 2, 4, 2, c, features).transpose(
+        0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, features)
+    return jax.lax.conv_general_dilated(
+        x2.astype(dtype), w2.astype(dtype), (1, 1),
+        [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class StemConv(nn.Module):
+    """Flax wrapper over :func:`stem_conv_apply` (owns the [7,7,3,F]
+    reference-layout parameter)."""
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (7, 7, c, self.features))
-        if h % 2 or w % 2:
-            return jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                (2, 2), [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
-            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        w2 = wp.reshape(4, 2, 4, 2, c, self.features).transpose(
-            0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
-        return jax.lax.conv_general_dilated(
-            x2.astype(self.dtype), w2.astype(self.dtype), (1, 1),
-            [(2, 1), (2, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                            (7, 7, x.shape[-1], self.features))
+        return stem_conv_apply(x, kernel, self.dtype)
 
 
 class FrozenBatchNorm(nn.Module):

@@ -85,9 +85,12 @@ class GaussianLifterV2(nn.Module):
                  occ_cam_mask=None, secondfpn_out=None, *,
                  rng: Optional[jax.Array] = None,
                  compute_gt: bool = True,
-                 fuse_dcn_epilogue: bool = False):
+                 fuse_dcn_epilogue: bool = False,
+                 trunk_feats=None):
         """imgs: [B, N, H, W, 3]; projection_mat: [B, N, 4, 4] (lidar→img);
-        occ_label: [B, X, Y, Z] int; occ_cam_mask: [B, X, Y, Z] bool."""
+        occ_label: [B, X, Y, Z] int; occ_cam_mask: [B, X, Y, Z] bool.
+        ``trunk_feats``: precomputed initializer ResNet stage outputs
+        (from the paired-trunk path) — SECONDFPN still runs here."""
         b, n = imgs.shape[:2]
         if secondfpn_out is None:
             assert self.use_initializer
@@ -100,7 +103,8 @@ class GaussianLifterV2(nn.Module):
                 fuse_dcn_epilogue=fuse_dcn_epilogue,
                 dcn_win=self.dcn_win,
                 name="initialize_backbone")(
-                imgs.reshape((b * n,) + imgs.shape[2:]))
+                imgs.reshape((b * n,) + imgs.shape[2:]),
+                trunk_feats=trunk_feats)
             secondfpn_out = feat.reshape((b, n) + feat.shape[1:])
         h, w = secondfpn_out.shape[2:4]
 

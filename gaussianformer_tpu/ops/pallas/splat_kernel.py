@@ -34,6 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
+            tc_ref,                             # [1, 1+nc] SMEM block:
+                                                # col 0 = count, cols 1..
+                                                # = overlapping chunk ids
             pts_ref, pts_int_ref, gdata_ref, box_ref, sem_aug_ref,
             acc_ref, om_ref, *, num_chunks: int, chunk_g: int,
             needs_om: bool, prune: bool = True, zrun: int = 0):
@@ -65,19 +68,13 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
     py = pts_int_ref[:, 1:2]
     pz = pts_int_ref[:, 2:3]
 
-    def body(j, carry):
+    def body(k, carry):
+        # prune mode: iterate ONLY the tile's overlapping chunks via the
+        # host-built id table (dynamic trip count) — no per-block
+        # lax.cond scalar/vector sync, no wasted blocks. The table is
+        # exact, so the old AABB-overlap test is gone entirely.
+        j = tc_ref[0, 0, k + 1] if prune else k
         acc, om = carry
-        if prune:
-            overlap = (
-                (chunk_bounds_ref[j, 0] <= t_hi_x)
-                & (chunk_bounds_ref[j, 4] >= t_lo_x)
-                & (chunk_bounds_ref[j, 1] <= t_hi_y)
-                & (chunk_bounds_ref[j, 5] >= t_lo_y)
-                & (chunk_bounds_ref[j, 2] <= t_hi_z)
-                & (chunk_bounds_ref[j, 6] >= t_lo_z)
-            )
-        else:
-            overlap = jnp.bool_(True)
         # every gaussian box in chunk j contains the whole tile (cover
         # bounds cols 8-13, host-computed with padded rows forced to
         # non-cover): the AABB mask is all-ones and its ~11 VPU passes
@@ -169,16 +166,14 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
                 om = om + jnp.sum(jnp.log1p(-power), axis=1, keepdims=True)
             return acc, om
 
-        return jax.lax.cond(
-            overlap,
-            lambda c: jax.lax.cond(covers,
-                                   functools.partial(compute, False),
-                                   functools.partial(compute, True), c),
-            lambda c: c, (acc, om))
+        return jax.lax.cond(covers,
+                            functools.partial(compute, False),
+                            functools.partial(compute, True), (acc, om))
 
     acc0 = jnp.zeros((tile_n, c_aug), jnp.float32)
     om0 = jnp.zeros((tile_n, 1), jnp.float32)
-    acc, om_log = jax.lax.fori_loop(0, num_chunks, body, (acc0, om0))
+    n_iter = tc_ref[0, 0, 0] if prune else num_chunks
+    acc, om_log = jax.lax.fori_loop(0, n_iter, body, (acc0, om0))
     acc_ref[:] = acc
     om_ref[:] = jnp.exp(om_log)
 
@@ -318,6 +313,21 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
 
     glo = (box[:, :3] - box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
     ghi = (box[:, :3] + box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
+    # exact per-tile chunk-id table: overlap matrix -> per-row compaction
+    # (overlapping ids first, ascending). Cheap ([tiles, chunks] bools)
+    # and removes every in-kernel overlap cond — the kernel's chunk loop
+    # has a dynamic trip count of exactly the overlapping chunks.
+    lo_cb = jnp.min(glo, axis=1)
+    hi_cb = jnp.max(ghi, axis=1)
+    ov = jnp.all((lo_cb[None, :] <= hi[:, None])
+                 & (hi_cb[None, :] >= lo[:, None]), axis=-1)  # [nt, nc]
+    count = jnp.sum(ov, axis=1, dtype=jnp.int32)
+    ids = jnp.argsort(~ov, axis=1, stable=True).astype(jnp.int32)
+    tw = -(-(num_chunks + 1) // 8) * 8
+    table = jnp.concatenate([count[:, None], ids], axis=1)
+    # [nt, 1, tw] with a (1, 1, tw) block: trailing block dims must equal
+    # the array dims for SMEM blocks (Mosaic block-shape rule)
+    table = jnp.pad(table, ((0, 0), (0, tw - 1 - num_chunks)))[:, None, :]
     zero_c = jnp.zeros((num_chunks, 1), jnp.int32)
     # cover bounds (cols 8-13): chunk j's boxes ALL contain a tile iff
     # max_g(lo) <= tile_lo and min_g(hi) >= tile_hi. Padded/dummy rows
@@ -340,6 +350,8 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1, tw), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.SMEM),   # chunk-id table row
             pl.BlockSpec((tile_n, 4), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, 4), lambda i, *_: (i, 0),
@@ -363,7 +375,8 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_bounds, chunk_bounds, pts, pts_int, gdata_t, box_t, sem_pair)
+    )(tile_bounds, chunk_bounds, table, pts, pts_int, gdata_t, box_t,
+      sem_pair)
     if zrun and defer_zrun:
         assert n == n_pad, (n, n_pad)
         return acc, om[:, 0]

@@ -296,7 +296,7 @@ def splat_deferred(points, means, opacities, semantics, scales, cov_inv6,
                    grid: SplatGridSpec, *, variant: str = "prob",
                    per_axis_radii: bool = True, tile_n: int = 8192,
                    chunk_g: int = 128, backend: str = "auto",
-                   pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
+                   pallas_tile_n: int = 512, pallas_chunk_g: int = 128,
                    grid_ordered: bool = False, interpret: bool = False):
     """INFERENCE-ONLY splat returning ``(outs, unpatch)``.
 
@@ -342,7 +342,7 @@ def splat(points, means, opacities, semantics, scales, cov_inv6,
           grid: SplatGridSpec, *, variant: str = "prob",
           per_axis_radii: bool = True, tile_n: int = 8192,
           chunk_g: int = 128, backend: str = "auto",
-          pallas_tile_n: int = 512, pallas_chunk_g: int = 512,
+          pallas_tile_n: int = 512, pallas_chunk_g: int = 128,
           grid_ordered: bool = False, interpret: bool = False):
     """Batched Gaussian→voxel splat.
 
