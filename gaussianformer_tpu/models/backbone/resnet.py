@@ -117,7 +117,7 @@ class DeformConv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
     # Pallas window size (multiple of 8, > tile+3). Samples beyond
-    # ±(win-tile-3)/2 feature px of their tap are dropped — widen via
+    # ±(win-2*tile)/2 feature px of their tap are dropped — widen via
     # the config's ``dcn_win`` if utils.check_dcn_offset_margin flags a
     # checkpoint whose learned offsets exceed the margin.
     win: int = 24
@@ -139,7 +139,7 @@ class DeformConv2d(nn.Module):
 
         win = self.win
         # Observability for the Pallas kernel's static window: samples
-        # beyond ±(win - tile - 3)/2 px of their tap are dropped (value
+        # beyond ±(win - 2*tile)/2 px of their tap are dropped (value
         # AND gradient). Sown so a forward with
         # mutable=["intermediates"] (utils.check_dcn_offset_margin) can
         # verify a converted checkpoint / a training run stays inside

@@ -6,17 +6,23 @@ engine tops out at ~100 GB/s and each stage-3 R101 DCN block gathers
 a sparse interpolation matrix M built *in VMEM*, so the sampling becomes
 two MXU matmuls per tile and the image is read once, densely:
 
-    per 8x8 output tile (grid step):
-      window  <- DMA x[start_r : start_r+WIN, start_c : start_c+WIN, :]
-      M_T[p, s] = sum_c w_c[s] * (p == pos_c[s])      (VPU, 4 corner passes)
-      acc     = M_T^T @ window.reshape(WIN*WIN, C)     (MXU)
-      out     = sum_k acc[k*64:(k+1)*64] @ W[k]        (MXU, 9 taps)
+    per 8x8 output tile (grid step), per tap k (9 static taps):
+      window_k <- strip[tap_y-margin : +WIN-TILE rows, j*T : j*T+WIN, :]
+                  (static dim-0 slice of the one strip DMA per tile row)
+      M_T[p, s] = R[p_y, s] * C[p_x, s]                (VPU, separable)
+      acc_k    = M_T^T @ window_k.reshape((WIN-T)*WIN, C)   (MXU)
+      out     += acc_k @ W[k]                          (MXU)
 
-Sampling positions are exact while every offset stays within
-``(WIN - TILE - 3) / 2`` (= ±6.5 feature px at the default WIN=24) of its
-static tap location; corners farther out are dropped (zero weight) instead
-of sampled. Trained DCN offsets are overwhelmingly within ±4 px. The exact
-gather path remains available for verification (ops/dcn.py).
+The per-tap row windows contract K = (WIN-TILE)*WIN instead of WIN*WIN
+(1.5x fewer sampling-matmul MACs and 1.5x less M-build at WIN=24).
+Sampling positions are exact while every offset stays within the static
+window of its tap: row margin ``(WIN - 2*TILE) / 2`` (±4 feature px at
+the default WIN=24), column margin ``(WIN - TILE - 3) / 2`` (±6.5).
+Corners farther out are dropped (zero weight AND zero gradient) instead
+of sampled. Trained DCN offsets are overwhelmingly within ±4 px; widen
+via the config's ``dcn_win`` (utils.check_dcn_offset_margin guards
+converted checkpoints). The exact gather path remains available for
+verification (ops/dcn.py).
 
 Layouts are chosen so nothing ever needs a Mosaic relayout: per-tile
 offset/mask data arrives tap-major as a [32, 64] block (rows = 9*dy, 9*dx,
@@ -40,6 +46,13 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
     b = pl.program_id(0)
     lead = (win - tile) // 2
     kk = 9
+    # per-tap row-window height: tap k samples rows i*T + tap_y +
+    # [-(wty-T)/2, ...), a STATIC dim-0 slice of the strip — so the
+    # sampling matmul contracts K = wty*win instead of win*win
+    # (1.5x fewer MACs and 1.5x less M-build at win=24). Row margin is
+    # (win - 2*tile)/2 (= ±4 at 24); column margin stays (win-tile-3)/2.
+    wty = win - tile
+    lead_ty = (wty - tile) // 2
 
     # One DMA per TILE ROW: adjacent windows overlap by (win - tile)
     # columns, so the strip read moves ~3x fewer bytes than per-tile
@@ -50,77 +63,83 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
         x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
     copy.start()
 
-    s_total = kk * tile * tile
-    p_win = win * win
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_total), 1)
-    p_idx = q_iota % (tile * tile)
-    py = (p_idx // tile).astype(jnp.float32)
-    px = (p_idx % tile).astype(jnp.float32)
-    tap = q_iota // (tile * tile)
-    tap_y = (tap // 3 - 1).astype(jnp.float32)
-    tap_x = (tap % 3 - 1).astype(jnp.float32)
+    s_tap = tile * tile
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_tap), 1)
+    py = (q_iota // tile).astype(jnp.float32)
+    px = (q_iota % tile).astype(jnp.float32)
+    iota_ty = jax.lax.broadcasted_iota(jnp.int32, (wty, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     copy.wait()
 
     def one_tile(j, _):
-        # ---- sample geometry: everything lives on [1, S] lane vectors
-        # with s = k*64 + p (tap-major), so the M build runs at full
-        # lane width
-        off_y = offm_ref[0, j, 0:1, :]
-        off_x = offm_ref[0, j, 1:2, :]
-        mask = offm_ref[0, j, 2:3, :]
-
-        start_r = i * tile      # padded coords; global origin - lead
-        start_c = j * tile
-
-        sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
-        sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
-
-        y0 = jnp.floor(sy)
-        x0 = jnp.floor(sx)
-        fy = sy - y0
-        fx = sx - x0
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-
-        # M^T via the SEPARABLE bilinear build: the corner weight
-        # wy_dy * wx_dx factors into a row term and a column term, so
-        # M[(py, px), s] = R[py, s] * C[px, s] with R/C each a 2-corner
-        # one-hot build on a small [win, S] block. Out-of-window corners
-        # match no iota row and drop out automatically (zero weight, same
-        # semantics as the old clip + ok masking); image-bounds validity
-        # factors per axis. ~3 full-size [p_win, S] passes instead of the
-        # 12 of the old 4-corner compare-select-add (measured 2.5 ms →
-        # ~1 ms per stage-3 block on v5e).
-        ry0 = y0i - (start_r - lead)          # window-relative corner rows
-        rx0 = x0i - (start_c - lead)
-        oky0 = (y0i >= 0) & (y0i <= h - 1)
-        oky1 = (y0i >= -1) & (y0i <= h - 2)
-        okx0 = (x0i >= 0) & (x0i <= w - 1)
-        okx1 = (x0i >= -1) & (x0i <= w - 2)
-        # (the product must stay f32 until after the [win, win, S] →
-        # [p_win, S] merge: bf16 tiling needs sublane multiples of 16 and
-        # Mosaic rejects the shape cast at win=24)
-        r_fac = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
-                 + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0)) * mask
-        c_fac = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
-                 + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
-        m_t = (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
-            p_win, s_total).astype(strip_buf.dtype)
-
-        win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
-
-        acc = jax.lax.dot_general(
-            m_t, win2d, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(strip_buf.dtype)
+        # ---- sample geometry: everything lives on [1, 64] lane vectors
+        # per tap (tap-major packing s = k*64 + p). Taps with the same
+        # tap_y share the SAME row window, so the sampling matmul runs
+        # once per row group with S = 3*64 = 192 samples (long enough to
+        # keep the MXU pipeline filled; per-tap S=64 measured neutral).
+        win3d = strip_buf[:, pl.ds(j * tile, win), :]   # [win, win, C]
 
         out = jnp.zeros((tile * tile, c_out), jnp.float32)
-        for k in range(kk):
-            out = out + jax.lax.dot_general(
-                acc[k * tile * tile:(k + 1) * tile * tile, :], w_ref[k],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        for ty in (-1, 0, 1):
+            m_parts = []
+            for tx in (-1, 0, 1):
+                k = (ty + 1) * 3 + (tx + 1)
+                sl = slice(k * s_tap, (k + 1) * s_tap)
+                off_y = offm_ref[0, j, 0:1, sl]
+                off_x = offm_ref[0, j, 1:2, sl]
+                mask = offm_ref[0, j, 2:3, sl]
+
+                sy = (i * tile + ty).astype(jnp.float32) + py + off_y
+                sx = (j * tile + tx).astype(jnp.float32) + px + off_x
+                y0 = jnp.floor(sy)
+                x0 = jnp.floor(sx)
+                fy = sy - y0
+                fx = sx - x0
+                y0i = y0.astype(jnp.int32)
+                x0i = x0.astype(jnp.int32)
+
+                # M^T via the SEPARABLE bilinear build: corner weight
+                # wy*wx factors into row and column one-hot builds on
+                # [wty, 64] / [win, 64] blocks; out-of-window corners
+                # match no iota row and drop out (zero weight),
+                # image-bounds validity factors per axis.
+                # tap-row windows: global [i*T + ty - lead_ty, +wty)
+                ry0 = y0i - (i * tile + ty - lead_ty)
+                rx0 = x0i - (j * tile - lead)
+                oky0 = (y0i >= 0) & (y0i <= h - 1)
+                oky1 = (y0i >= -1) & (y0i <= h - 2)
+                okx0 = (x0i >= 0) & (x0i <= w - 1)
+                okx1 = (x0i >= -1) & (x0i <= w - 2)
+                r_fac = (jnp.where(iota_ty == ry0,
+                                   (1.0 - fy) * oky0, 0.0)
+                         + jnp.where(iota_ty == ry0 + 1,
+                                     fy * oky1, 0.0)) * mask
+                c_fac = (jnp.where(iota_w == rx0,
+                                   (1.0 - fx) * okx0, 0.0)
+                         + jnp.where(iota_w == rx0 + 1,
+                                     fx * okx1, 0.0))
+                m_parts.append(
+                    (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
+                        wty * win, s_tap))
+            m_t = jnp.concatenate(m_parts, axis=1).astype(
+                strip_buf.dtype)                    # [wty*win, 192]
+
+            # strip row of the group window start: (i*T + ty - lead_ty)
+            # - (i*T - lead) = lead + ty - lead_ty — static dim-0 slice
+            r0 = lead + ty - lead_ty
+            win_k = win3d[r0:r0 + wty].reshape(wty * win, c_in)
+
+            acc = jax.lax.dot_general(
+                m_t, win_k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(
+                strip_buf.dtype)                    # [192, C]
+            for tx in (-1, 0, 1):
+                k = (ty + 1) * 3 + (tx + 1)
+                acc_k = acc[(tx + 1) * s_tap:(tx + 2) * s_tap, :]
+                out = out + jax.lax.dot_general(
+                    acc_k, w_ref[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         if epilogue:
             # fused frozen-BN + ReLU (inference path): XLA cannot fuse
             # elementwise consumers into a custom call, so without this
@@ -232,64 +251,70 @@ def _paired_kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf,
     b = pl.program_id(0)
     lead = (win - tile) // 2
     kk = 9
+    wty = win - tile                # per-tap row window (see _kernel)
+    lead_ty = (wty - tile) // 2
 
     copy = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
     copy.start()
 
-    s_total = kk * tile * tile
-    p_win = win * win
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_total), 1)
-    p_idx = q_iota % (tile * tile)
-    py = (p_idx // tile).astype(jnp.float32)
-    px = (p_idx % tile).astype(jnp.float32)
-    tap = q_iota // (tile * tile)
-    tap_y = (tap // 3 - 1).astype(jnp.float32)
-    tap_x = (tap % 3 - 1).astype(jnp.float32)
+    s_tap = tile * tile
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_tap), 1)
+    py = (q_iota // tile).astype(jnp.float32)
+    px = (q_iota % tile).astype(jnp.float32)
+    iota_ty = jax.lax.broadcasted_iota(jnp.int32, (wty, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     copy.wait()
 
     def one_tile(j, _):
-        win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(
-            p_win, 2 * c_half)
+        win3d = strip_buf[:, pl.ds(j * tile, win), :]  # [win, win, 2C]
         outs = []
         for t in range(2):
-            off_y = offm_ref[0, j, 3 * t:3 * t + 1, :]
-            off_x = offm_ref[0, j, 3 * t + 1:3 * t + 2, :]
-            mask = offm_ref[0, j, 3 * t + 2:3 * t + 3, :]
-
-            sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
-            sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
-            y0 = jnp.floor(sy)
-            x0 = jnp.floor(sx)
-            fy = sy - y0
-            fx = sx - x0
-            y0i = y0.astype(jnp.int32)
-            x0i = x0.astype(jnp.int32)
-            ry0 = y0i - (i * tile - lead)
-            rx0 = x0i - (j * tile - lead)
-            oky0 = (y0i >= 0) & (y0i <= h - 1)
-            oky1 = (y0i >= -1) & (y0i <= h - 2)
-            okx0 = (x0i >= 0) & (x0i <= w - 1)
-            okx1 = (x0i >= -1) & (x0i <= w - 2)
-            r_fac = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
-                     + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0)) * mask
-            c_fac = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
-                     + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
-            m_t = (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
-                p_win, s_total).astype(strip_buf.dtype)
-
-            acc = jax.lax.dot_general(
-                m_t, win2d[:, t * c_half:(t + 1) * c_half],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(strip_buf.dtype)
-
             out_t = jnp.zeros((tile * tile, c_out_half), jnp.float32)
             for k in range(kk):
+                ty = k // 3 - 1
+                tx = k % 3 - 1
+                sl = slice(k * s_tap, (k + 1) * s_tap)
+                off_y = offm_ref[0, j, 3 * t:3 * t + 1, sl]
+                off_x = offm_ref[0, j, 3 * t + 1:3 * t + 2, sl]
+                mask = offm_ref[0, j, 3 * t + 2:3 * t + 3, sl]
+
+                sy = (i * tile + ty).astype(jnp.float32) + py + off_y
+                sx = (j * tile + tx).astype(jnp.float32) + px + off_x
+                y0 = jnp.floor(sy)
+                x0 = jnp.floor(sx)
+                fy = sy - y0
+                fx = sx - x0
+                y0i = y0.astype(jnp.int32)
+                x0i = x0.astype(jnp.int32)
+                ry0 = y0i - (i * tile + ty - lead_ty)
+                rx0 = x0i - (j * tile - lead)
+                oky0 = (y0i >= 0) & (y0i <= h - 1)
+                oky1 = (y0i >= -1) & (y0i <= h - 2)
+                okx0 = (x0i >= 0) & (x0i <= w - 1)
+                okx1 = (x0i >= -1) & (x0i <= w - 2)
+                r_fac = (jnp.where(iota_ty == ry0,
+                                   (1.0 - fy) * oky0, 0.0)
+                         + jnp.where(iota_ty == ry0 + 1,
+                                     fy * oky1, 0.0)) * mask
+                c_fac = (jnp.where(iota_w == rx0,
+                                   (1.0 - fx) * okx0, 0.0)
+                         + jnp.where(iota_w == rx0 + 1,
+                                     fx * okx1, 0.0))
+                m_t = (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
+                    wty * win, s_tap).astype(strip_buf.dtype)
+
+                r0 = lead + ty - lead_ty
+                win_k = win3d[r0:r0 + wty, :,
+                              t * c_half:(t + 1) * c_half].reshape(
+                    wty * win, c_half)
+                acc = jax.lax.dot_general(
+                    m_t, win_k, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(
+                    strip_buf.dtype)
                 out_t = out_t + jax.lax.dot_general(
-                    acc[k * tile * tile:(k + 1) * tile * tile, :],
-                    w_ref[t, k], (((1,), (0,)), ((), ())),
+                    acc, w_ref[t, k], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             if epilogue:
                 out_t = jnp.maximum(
@@ -425,20 +450,18 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
     b = pl.program_id(0)
     lead = (win - tile) // 2
     kk = 9
+    wty = win - tile                # per-tap row window (see _kernel)
+    lead_ty = (wty - tile) // 2
 
     copy = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
     copy.start()
 
-    s_total = kk * tile * tile
-    p_win = win * win
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_total), 1)
-    p_idx = q_iota % (tile * tile)
-    py = (p_idx // tile).astype(jnp.float32)
-    px = (p_idx % tile).astype(jnp.float32)
-    tap = q_iota // (tile * tile)
-    tap_y = (tap // 3 - 1).astype(jnp.float32)
-    tap_x = (tap % 3 - 1).astype(jnp.float32)
+    s_tap = tile * tile
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_tap), 1)
+    py = (q_iota // tile).astype(jnp.float32)
+    px = (q_iota % tile).astype(jnp.float32)
+    iota_ty = jax.lax.broadcasted_iota(jnp.int32, (wty, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     first = (b == 0) & (i == 0)
@@ -455,89 +478,89 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
     copy.wait()
 
     def one_tile(j, _):
-        off_y = offm_ref[0, j, 0:1, :]
-        off_x = offm_ref[0, j, 1:2, :]
-        mask = offm_ref[0, j, 2:3, :]
-
-        start_r = i * tile
-        start_c = j * tile
-        sy = (i * tile).astype(jnp.float32) + py + tap_y + off_y
-        sx = (j * tile).astype(jnp.float32) + px + tap_x + off_x
-        y0 = jnp.floor(sy)
-        x0 = jnp.floor(sx)
-        fy = sy - y0
-        fx = sx - x0
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-
-        # separable M build (see _kernel): r_t/c_t are the mask-free
-        # row/col factors, reused below for the offset/mask chain rule
-        ry0 = y0i - (start_r - lead)
-        rx0 = x0i - (start_c - lead)
-        oky0 = (y0i >= 0) & (y0i <= h - 1)
-        oky1 = (y0i >= -1) & (y0i <= h - 2)
-        okx0 = (x0i >= 0) & (x0i <= w - 1)
-        okx1 = (x0i >= -1) & (x0i <= w - 2)
-        r_t = (jnp.where(iota_w == ry0, (1.0 - fy) * oky0, 0.0)
-               + jnp.where(iota_w == ry0 + 1, fy * oky1, 0.0))
-        c_t = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
-               + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
-        m_t = ((r_t * mask)[:, None, :] * c_t[None, :, :]).reshape(
-            p_win, s_total).astype(strip_buf.dtype)
-
-        win2d = strip_buf[:, pl.ds(j * tile, win), :].reshape(p_win, c_in)
-        acc = jax.lax.dot_general(
-            m_t, win2d, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(strip_buf.dtype)
-
+        win3d = strip_buf[:, pl.ds(j * tile, win), :]   # [win, win, C]
         g_out = gout_ref[0, :, pl.ds(j * tile, tile), :].reshape(
             tile * tile, c_out).astype(strip_buf.dtype)
 
-        # g_W accumulation + g_acc build, per tap
-        g_acc_parts = []
+        gwin_cols = jnp.zeros((win, win, c_in), jnp.float32)
         for k in range(kk):
-            acc_k = acc[k * tile * tile:(k + 1) * tile * tile, :]
+            ty = k // 3 - 1
+            tx = k % 3 - 1
+            sl = slice(k * s_tap, (k + 1) * s_tap)
+            off_y = offm_ref[0, j, 0:1, sl]
+            off_x = offm_ref[0, j, 1:2, sl]
+            mask = offm_ref[0, j, 2:3, sl]
+
+            sy = (i * tile + ty).astype(jnp.float32) + py + off_y
+            sx = (j * tile + tx).astype(jnp.float32) + px + off_x
+            y0 = jnp.floor(sy)
+            x0 = jnp.floor(sx)
+            fy = sy - y0
+            fx = sx - x0
+            y0i = y0.astype(jnp.int32)
+            x0i = x0.astype(jnp.int32)
+
+            # separable per-tap M build (see _kernel): r_t/c_t are the
+            # mask-free row/col factors, reused for the chain rule
+            ry0 = y0i - (i * tile + ty - lead_ty)
+            rx0 = x0i - (j * tile - lead)
+            oky0 = (y0i >= 0) & (y0i <= h - 1)
+            oky1 = (y0i >= -1) & (y0i <= h - 2)
+            okx0 = (x0i >= 0) & (x0i <= w - 1)
+            okx1 = (x0i >= -1) & (x0i <= w - 2)
+            r_t = (jnp.where(iota_ty == ry0, (1.0 - fy) * oky0, 0.0)
+                   + jnp.where(iota_ty == ry0 + 1, fy * oky1, 0.0))
+            c_t = (jnp.where(iota_w == rx0, (1.0 - fx) * okx0, 0.0)
+                   + jnp.where(iota_w == rx0 + 1, fx * okx1, 0.0))
+            m_t = ((r_t * mask)[:, None, :] * c_t[None, :, :]).reshape(
+                wty * win, s_tap).astype(strip_buf.dtype)
+
+            r0 = lead + ty - lead_ty
+            win_k = win3d[r0:r0 + wty].reshape(wty * win, c_in)
+
+            acc_k = jax.lax.dot_general(
+                m_t, win_k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(
+                strip_buf.dtype)
+
             gw_ref[k] = gw_ref[k] + jax.lax.dot_general(
                 acc_k, g_out, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            g_acc_parts.append(jax.lax.dot_general(
+            g_acc = jax.lax.dot_general(
                 g_out, w_ref[k], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(
-                strip_buf.dtype))
-        g_acc = jnp.concatenate(g_acc_parts, axis=0)        # [S, C_in]
+                strip_buf.dtype)                         # [64, C_in]
 
-        g_m = jax.lax.dot_general(
-            win2d, g_acc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [p_win, S]
+            g_m = jax.lax.dot_general(
+                win_k, g_acc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [wty*win, 64]
 
-        g_win = jax.lax.dot_general(
-            m_t, g_acc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [p_win, C_in]
-        sl = pl.ds(j * tile, win)
-        gstrip_buf[:, sl, :] = (gstrip_buf[:, sl, :]
-                                + g_win.reshape(win, win, c_in))
+            g_win = jax.lax.dot_general(
+                m_t, g_acc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [wty*win, C_in]
+            gwin_cols = gwin_cols.at[r0:r0 + wty].add(
+                g_win.reshape(wty, win, c_in))
 
-        # offset/mask chain rule through the separable factorization:
-        # M = mask * (R ⊗ C) gives
-        #   g_mask = Σ_py R[py] E[py],    E[py, s] = Σ_px g_M[(py,px), s] C[px, s]
-        #   g_sy   = mask Σ_py R'[py] E[py]   (R' = dR/dsy: ∓ok one-hots)
-        #   g_sx   = mask Σ_px C'[px] F[px],  F[px, s] = Σ_py g_M R[py, s]
-        # — two full-size multiply-reduces instead of four per-corner
-        # compare-select-reduce passes.
-        g_m3 = g_m.reshape(win, win, s_total)
-        e_r = jnp.sum(g_m3 * c_t[None, :, :], axis=1)     # [win, S]
-        f_c = jnp.sum(g_m3 * r_t[:, None, :], axis=0)     # [win, S]
-        dr = (jnp.where(iota_w == ry0 + 1, 1.0 * oky1, 0.0)
-              - jnp.where(iota_w == ry0, 1.0 * oky0, 0.0))
-        dc = (jnp.where(iota_w == rx0 + 1, 1.0 * okx1, 0.0)
-              - jnp.where(iota_w == rx0, 1.0 * okx0, 0.0))
-        g_mask = jnp.sum(r_t * e_r, axis=0, keepdims=True)
-        g_sy = mask * jnp.sum(dr * e_r, axis=0, keepdims=True)
-        g_sx = mask * jnp.sum(dc * f_c, axis=0, keepdims=True)
+            # offset/mask chain rule through M = mask * (R ⊗ C):
+            #   g_mask = Σ_ry R E,  E[ry, s] = Σ_cx g_M[(ry,cx), s] C[cx, s]
+            #   g_sy   = mask Σ_ry R' E   (R' = dR/dsy: ∓ok one-hots)
+            #   g_sx   = mask Σ_cx C' F,  F[cx, s] = Σ_ry g_M R[ry, s]
+            g_m3 = g_m.reshape(wty, win, s_tap)
+            e_r = jnp.sum(g_m3 * c_t[None, :, :], axis=1)   # [wty, 64]
+            f_c = jnp.sum(g_m3 * r_t[:, None, :], axis=0)   # [win, 64]
+            dr = (jnp.where(iota_ty == ry0 + 1, 1.0 * oky1, 0.0)
+                  - jnp.where(iota_ty == ry0, 1.0 * oky0, 0.0))
+            dc = (jnp.where(iota_w == rx0 + 1, 1.0 * okx1, 0.0)
+                  - jnp.where(iota_w == rx0, 1.0 * okx0, 0.0))
+            goffm_ref[0, j, 0:1, sl] = mask * jnp.sum(
+                dr * e_r, axis=0, keepdims=True)
+            goffm_ref[0, j, 1:2, sl] = mask * jnp.sum(
+                dc * f_c, axis=0, keepdims=True)
+            goffm_ref[0, j, 2:3, sl] = jnp.sum(
+                r_t * e_r, axis=0, keepdims=True)
 
-        goffm_ref[0, j, 0:1, :] = g_sy
-        goffm_ref[0, j, 1:2, :] = g_sx
-        goffm_ref[0, j, 2:3, :] = g_mask
+        sl_cols = pl.ds(j * tile, win)
+        gstrip_buf[:, sl_cols, :] = gstrip_buf[:, sl_cols, :] + gwin_cols
         return 0
 
     jax.lax.fori_loop(0, num_tc, one_tile, 0)

@@ -233,7 +233,7 @@ class Trainer:
         kernel's representable window (utils.check_dcn_offset_margin).
 
         Out-of-margin offsets are a silent-wrong-features hazard: the
-        fused kernel drops bilinear corners beyond ±(win-tile-3)/2 px of
+        fused kernel drops bilinear corners beyond ±(win-2*tile)/2 px of
         their static tap. On failure this either rebuilds the model with
         the next sufficient window (``auto_widen=True``, steps re-jitted;
         parameters are unaffected — the window is a static kernel shape)

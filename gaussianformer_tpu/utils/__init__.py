@@ -1,16 +1,24 @@
 from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
 
 
+def dcn_margin(win: int, tile: int = 8) -> float:
+    """Offset magnitude the Pallas DCN kernel samples exactly at window
+    ``win``: the binding constraint is the per-tap row window,
+    margin = (win - 2*tile)/2 (ops/pallas/dcn_kernel.py docstring)."""
+    return (win - 2 * tile) / 2.0
+
+
 def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
                             tile: int = 8, rng=None):
     """Run one forward collecting per-DCN-block max |offset| and compare
     against the Pallas kernel's representable window.
 
     The fused DCN kernel (ops/pallas/dcn_kernel.py) drops bilinear
-    corners beyond ±(win - tile - 3)/2 feature px of their static tap —
-    value AND gradient. A converted checkpoint (or a training run) whose
-    offsets exceed that margin silently produces wrong features; this
-    check makes the failure loud. Returns
+    corners beyond ±(win - 2*tile)/2 feature px (rows; columns allow
+    ±(win - tile - 3)/2) of their static tap — value AND gradient. A
+    converted checkpoint (or a training run) whose offsets exceed that
+    margin silently produces wrong features; this check makes the
+    failure loud. Returns
     ``{"max_offset", "margin", "per_block", "ok"}``; call it after
     ``Trainer.load_torch_pretrained`` and periodically during
     from-scratch training (reference has no analog: mmcv DCNv2 samples
@@ -19,7 +27,7 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
     import jax
     import jax.numpy as jnp
 
-    margin = (win - tile - 3) / 2.0
+    margin = dcn_margin(win, tile)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     # pair_towers=False: the paired trunk is a pure function that cannot
     # sow the per-block dcn_offset_max intermediates this check reads
@@ -48,9 +56,9 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
 
 def suggest_dcn_win(max_offset: float, *, tile: int = 8) -> int:
     """Smallest window (multiple of 8) whose margin covers
-    ``max_offset``: margin = (win - tile - 3)/2 >= max_offset."""
+    ``max_offset``: margin = (win - 2*tile)/2 >= max_offset."""
     import math
-    needed = int(math.ceil(2.0 * max_offset)) + tile + 3
+    needed = int(math.ceil(2.0 * max_offset)) + 2 * tile
     return (needed + 7) // 8 * 8
 
 
@@ -76,7 +84,7 @@ def check_dcn_offset_margin_towers(params, batch_stats, cfg, *,
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     win = getattr(cfg, "dcn_win", 24)
-    margin = (win - 8 - 3) / 2.0
+    margin = dcn_margin(win)
     h, w = image_size
     imgs = jax.random.normal(rng, (1, h, w, 3), jnp.float32)
 

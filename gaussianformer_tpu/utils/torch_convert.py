@@ -35,7 +35,13 @@ def conv_w(t):
 
 
 def deconv_w(t):
-    return _np(t).transpose(2, 3, 0, 1)
+    """torch ConvTranspose2d [Cin, Cout, kh, kw] → flax ConvTranspose
+    (transpose_kernel=False) [kh, kw, Cin, Cout], SPATIALLY FLIPPED:
+    flax's fractionally-strided formulation places kernel[k-1-a] where
+    torch places kernel[a] (verified against torch for k=s; the k=s=1
+    deblocks masked this until the SECONDFPN tower-parity test)."""
+    w = _np(t).transpose(2, 3, 0, 1)
+    return np.ascontiguousarray(w[::-1, ::-1])
 
 
 def linear_w(t):

@@ -173,9 +173,11 @@ class TestPallasDCN:
         ks = jax.random.split(jax.random.PRNGKey(3), 5)
         b, h, w, c = 2, 26, 30, 128
         x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
-        # quantized offsets keep floor() decisions stable across paths
-        off = jnp.round(
-            jax.random.normal(ks[1], (b, h, w, 18)) * 1.5 * 16) / 16 + 1 / 32
+        # quantized offsets keep floor() decisions stable across paths;
+        # clipped inside the per-tap row margin ±(win - 2*tile)/2 = 4
+        off = jnp.clip(jnp.round(
+            jax.random.normal(ks[1], (b, h, w, 18)) * 1.5 * 16) / 16,
+            -3.9, 3.9) + 1 / 32
         mask = jax.nn.sigmoid(jax.random.normal(ks[2], (b, h, w, 9)))
         wgt = jax.random.normal(ks[3], (3, 3, c, 8)) * 0.1
 
@@ -198,7 +200,7 @@ class TestPallasDCN:
         x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
         off = jnp.clip(jnp.round(
             jax.random.normal(ks[1], (b, h, w, 18)) * 1.5 * 16) / 16,
-            -4.0, 4.0) + 1 / 32
+            -3.9, 3.9) + 1 / 32
         mask = jax.nn.sigmoid(jax.random.normal(ks[2], (b, h, w, 9)))
         wgt = jax.random.normal(ks[3], (3, 3, c, 8)) * 0.1
         g_up = jax.random.normal(ks[4], (b, h, w, 8))
