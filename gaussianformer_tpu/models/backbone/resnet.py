@@ -54,6 +54,9 @@ def stem_conv_apply(x, kernel, dtype):
             x.astype(dtype), kernel.astype(dtype),
             (2, 2), [(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # cast BEFORE the space-to-depth shuffle: the transpose is a real
+    # relayout copy of the full image and costs half in bf16
+    x = x.astype(dtype)
     x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
         0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
     wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))

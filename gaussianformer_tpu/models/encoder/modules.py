@@ -233,13 +233,13 @@ def keypoints_projection_soa(anchor, learn, fix_scale, learnable_fixed_scale,
     v = yh / d / image_wh[:, :, 1][..., None, None]
     mask = ((depth > 1e-5)
             & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0))
-    # u/v → [B, C, P, K] (one relayout each — the loc order the kernel
-    # chunking needs); mask stays K-major [B, C, K, P] so the P-minor
-    # softmax consumes it with no transpose. Barrier so the projection
-    # chain is computed once, not re-fused into every consumer.
+    # u/v/mask → [B, C, P, K] (one relayout each — the pair-row order
+    # the kernel chunking and the KLG-minor softmax need). Barrier so
+    # the projection chain is computed once, not re-fused into every
+    # consumer.
     to_pk = lambda a: jnp.swapaxes(a, 2, 3)
     return jax.lax.optimization_barrier(
-        (to_pk(u), to_pk(v), mask))
+        (to_pk(u), to_pk(v), to_pk(mask)))
 
 
 def project_points(key_points, projection_mat, image_wh):
@@ -315,6 +315,69 @@ class DeformableFeatureAggregation(nn.Module):
 
         # ---- attention weights (reference _get_weights :249-282)
         feature = instance_feature + anchor_embed
+        if self.backend == "fused" and self.use_camera_embed:
+            # CAM-MAJOR PAIR-ROW pipeline: the Dense runs on
+            # [B, C, P, E] (cam-major broadcast — free) with its output
+            # columns PERMUTED from the checkpoint's (lvls, pts, groups)
+            # order to (pts, lvls, groups), so the result IS the
+            # kernel's per-pair weight table [B, C, P, K, L*G] — the
+            # old path materialized w_soft P-minor and paid a ~5 ms
+            # [B,C,L,K,G,P] → pair-row transpose per call. The masked
+            # softmax runs with KLG on lanes (208 → 256 pad, 1.2x).
+            cam_embed = LinearReluLn(self.embed_dims, 1, 2, 12,
+                                     name="camera_encoder")(
+                projection_mat[:, :, :3].reshape(b, self.num_cams, 12))
+            feature_cm = feature[:, None] + cam_embed[:, :, None]
+            dense = nn.Dense(
+                self.num_groups * self.num_levels * num_pts,
+                kernel_init=nn.initializers.zeros,
+                name="weights_fc")
+            klg = jnp.asarray(
+                [(l * num_pts + k) * self.num_groups + g
+                 for k in range(num_pts)
+                 for l in range(self.num_levels)
+                 for g in range(self.num_groups)], jnp.int32)
+            raw = dense(feature_cm)                  # [B, C, P, L*K*G]
+            w6 = raw[..., klg].reshape(
+                b, self.num_cams, p, num_pts, self.num_levels,
+                self.num_groups)
+            if self.attn_drop > 0 and not deterministic:
+                rng = self.make_rng("dropout")
+                keep = jax.random.uniform(rng, w6.shape) > self.attn_drop
+            else:
+                keep = jnp.ones(w6.shape, bool)
+            # vis_kp: [B, C, P, K] from the SoA projection
+            mask = vis_kp[..., None, None] & keep
+            red = (1, 3, 4)                          # cams, pts, lvls
+            all_miss = jnp.sum(mask, axis=red, keepdims=True) == 0
+            miss_b = jnp.broadcast_to(all_miss, mask.shape)
+            w = jnp.where(mask, w6, -jnp.inf)
+            w = jnp.where(miss_b, 0.0, w)
+            m = jnp.max(w, axis=red, keepdims=True)
+            e = jnp.exp(w - m)
+            s = jnp.sum(e, axis=red, keepdims=True)
+            w_soft = jnp.where(miss_b, 0.0, e / s)   # [B,C,P,K,L,G]
+            loc_cm = (u_pk.reshape(b, self.num_cams, p * num_pts),
+                      v_pk.reshape(b, self.num_cams, p * num_pts))
+            w_flat_cm = w_soft.reshape(
+                b, self.num_cams, p * num_pts,
+                self.num_levels * self.num_groups)
+            from ...ops.deformable import deformable_aggregation_fused_cm
+            # key-point reduction is fused into the kernel → [b, p, C]
+            features = deformable_aggregation_fused_cm(
+                feature_maps, loc_cm, w_flat_cm, self.num_groups, num_pts,
+                interpret=self.interpret)
+            output = nn.Dense(self.embed_dims, name="output_proj")(
+                features)
+            output = nn.Dropout(self.proj_drop,
+                                deterministic=deterministic)(output)
+            if self.residual_mode == "add":
+                return output + instance_feature
+            if self.residual_mode == "cat":
+                return jnp.concatenate([output, instance_feature],
+                                       axis=-1)
+            return output
+
         if self.use_camera_embed:
             cam_embed = LinearReluLn(self.embed_dims, 1, 2, 12,
                                      name="camera_encoder")(
@@ -342,14 +405,8 @@ class DeformableFeatureAggregation(nn.Module):
                 key_points, projection_mat, image_wh)
 
         if self.backend == "fused":
-            # CAM-MAJOR, P-MINOR pipeline: the masked softmax over
-            # (cams, pts, lvls) per (b, p, group) runs entirely on
-            # [B, C, L, K, G, P] planes (P on lanes) — the AoS
-            # [B, C, P, K, L, G] form's minor-dim-4 exp/divide/reduce
-            # passes each cost a 32x tile-padded rewrite. One transpose
-            # in (weights → P-minor) and one out (w_soft → per-pair
-            # rows) bracket the chain; same semantics as the generic
-            # path below.
+            # fused backend without camera embed: P-minor softmax on
+            # [B, C, L, K, G, P] planes, one transpose out to pair rows
             w6 = jnp.transpose(
                 weights.reshape(b, p, self.num_cams, -1),
                 (0, 2, 3, 1)).reshape(
@@ -360,7 +417,8 @@ class DeformableFeatureAggregation(nn.Module):
                 keep = jax.random.uniform(rng, w6.shape) > self.attn_drop
             else:
                 keep = jnp.ones(w6.shape, bool)
-            mask = vis_kp[:, :, None, :, None, :] & keep
+            mask = jnp.swapaxes(vis_kp, 2, 3)[
+                :, :, None, :, None, :] & keep
             all_miss = jnp.sum(mask, axis=(1, 2, 3), keepdims=True) == 0
             miss_b = jnp.broadcast_to(all_miss, mask.shape)
             w = jnp.where(mask, w6, -jnp.inf)

@@ -102,6 +102,10 @@ class GaussianLifterV2(nn.Module):
                 dtype=self.initializer_dtype,
                 fuse_dcn_epilogue=fuse_dcn_epilogue,
                 dcn_win=self.dcn_win,
+                # remat only on the training path (fuse_dcn_epilogue is
+                # the segmentor's not-training flag); at inference the
+                # remat boundary blocks conv-epilogue fusion
+                with_cp=not fuse_dcn_epilogue,
                 name="initialize_backbone")(
                 imgs.reshape((b * n,) + imgs.shape[2:]),
                 trunk_feats=trunk_feats)

@@ -96,8 +96,13 @@ class BEVSegmentor(nn.Module):
         if "dtype" in neck_cfg:
             neck_cfg["dtype"] = jnp.dtype(neck_cfg["dtype"])
         # inference: fold each DCN block's bn2+relu into the Pallas
-        # kernel epilogue (forward-only fast path)
+        # kernel epilogue (forward-only fast path), and drop the stage
+        # rematerialization (no grads to save memory for — the remat
+        # call boundary also keeps XLA from fusing the residual
+        # add+relu epilogues into the stage convs)
         backbone_cfg.setdefault("fuse_dcn_epilogue", not training)
+        backbone_cfg["with_cp"] = (backbone_cfg.get("with_cp", False)
+                                   and training)
 
         paired = (self.pair_towers if pair_towers is None else pair_towers)
         paired = (paired and not self.is_initializing()

@@ -465,24 +465,30 @@ def _spill_cleanup(feats, packed_s, spill, pair_perm, shapes,
     # form vectorizes across sublanes
     blk = 512
     qt_pad = -(-qtot // blk) * blk
+    nblk = qt_pad // blk
     spi = jnp.pad(sp.astype(jnp.int32), (0, qt_pad - qtot)).reshape(
         -1, blk)
     row = jnp.cumsum(spi, axis=1)
     offs = jnp.cumsum(row[:, -1]) - row[:, -1]
-    c = (row + offs[:, None]).reshape(-1)[:qtot]  # inclusive spill count
-    # compact via BINARY SEARCH on the monotone cumulative count instead
-    # of a scatter: slot i is the first row where the count reaches i+1.
-    # The qtot-update scatter this replaces cost ~5 ms/frame on v5e
-    # (XLA serializes the dropped updates); 8k searchsorted queries over
-    # the 270k-row cumsum are ~20 gather rounds of 8k rows (~0.7 ms).
-    flat_idx = jnp.searchsorted(
-        c, jnp.arange(1, budget + 1, dtype=c.dtype),
-        side="left").astype(jnp.int32)
-    # slots past the last spilled row return qtot (one past the end):
-    # clamp explicitly rather than leaning on JAX's default gather-clamp
-    # at the three downstream gathers; `used` zeroes their results
+    # compact via a TWO-LEVEL first-reach search on the blocked cumsum
+    # (slot i = first row where the inclusive count reaches i+1). A flat
+    # jnp.searchsorted over the 270k-row cumsum lowers to ~19 serialized
+    # gather rounds (~2.2 ms/call traced); the blocked form is two dense
+    # compare-counts ([budget, nblk] and [budget, blk]) plus one 512-int
+    # row gather — all full-lane VPU passes.
+    tgt = jnp.arange(1, budget + 1, dtype=jnp.int32)       # [budget]
+    ends = offs + row[:, -1]                               # block ends
+    blk_of = jnp.sum((ends[None, :] < tgt[:, None]).astype(jnp.int32),
+                     axis=1)
+    blk_of = jnp.minimum(blk_of, nblk - 1)
+    loc_t = tgt - offs[blk_of]                             # local target
+    rows_blk = row[blk_of]                                 # [budget, blk]
+    j = jnp.sum((rows_blk < loc_t[:, None]).astype(jnp.int32), axis=1)
+    flat_idx = blk_of * blk + jnp.minimum(j, blk - 1)
+    # slots past the last spilled row: clamp explicitly rather than
+    # leaning on JAX's gather-clamp downstream; `used` zeroes them
     flat_idx = jnp.minimum(flat_idx, qtot - 1)
-    n_spill = c[-1]
+    n_spill = ends[-1]
     used = (jnp.arange(budget) < jnp.minimum(n_spill, budget))
     # one row gather from the 32-col pair table (u, v, -, -, w16, pad)
     rows = packed_s.reshape(-1, packed_s.shape[-1])[flat_idx]

@@ -482,7 +482,10 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
         g_out = gout_ref[0, :, pl.ds(j * tile, tile), :].reshape(
             tile * tile, c_out).astype(strip_buf.dtype)
 
-        gwin_cols = jnp.zeros((win, win, c_in), jnp.float32)
+        gwin_parts = []          # (r0, [wty, win, C]) per tap; summed
+                                 # via static zero-pads below (an
+                                 # .at[r0:].add on a value lowers to an
+                                 # unsupported in-kernel scatter-add)
         for k in range(kk):
             ty = k // 3 - 1
             tx = k % 3 - 1
@@ -538,8 +541,7 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
             g_win = jax.lax.dot_general(
                 m_t, g_acc, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [wty*win, C_in]
-            gwin_cols = gwin_cols.at[r0:r0 + wty].add(
-                g_win.reshape(wty, win, c_in))
+            gwin_parts.append((r0, g_win.reshape(wty, win, c_in)))
 
             # offset/mask chain rule through M = mask * (R ⊗ C):
             #   g_mask = Σ_ry R E,  E[ry, s] = Σ_cx g_M[(ry,cx), s] C[cx, s]
@@ -559,6 +561,10 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
             goffm_ref[0, j, 2:3, sl] = jnp.sum(
                 r_t * e_r, axis=0, keepdims=True)
 
+        gwin_cols = jnp.zeros((win, win, c_in), jnp.float32)
+        for r0, g in gwin_parts:
+            gwin_cols = gwin_cols + jnp.pad(
+                g, ((r0, win - r0 - wty), (0, 0), (0, 0)))
         sl_cols = pl.ds(j * tile, win)
         gstrip_buf[:, sl_cols, :] = gstrip_buf[:, sl_cols, :] + gwin_cols
         return 0

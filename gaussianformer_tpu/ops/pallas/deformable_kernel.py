@@ -123,17 +123,21 @@ def _pair_gate(pr, xs, shapes, wx):
     return (inside & ~spill).astype(jnp.float32)
 
 
-def _fwd_kernel(starts_ref, pair_ref,
+def _fwd_kernel(sc_ref, sn_ref, pair_ref,
                 f0, f1, f2, f3,
                 sr0, sc0, sr1, sc1, sr2, sc2, sr3, sc3,
                 gexp_ref, red_ref,
                 out_ref,
                 win0, win1, win2, win3, sems,
                 *, shapes, wx, s, c_dim, cpc, nchunks):
+    """sc_ref / sn_ref: [1, 1, 8] SMEM blocks carrying the CURRENT and
+    NEXT chunk's (cam, valid, xs_l0/8, xs_l1/8) rows. Blocked SMEM
+    instead of scalar-prefetching the whole [nchunks, 8] table: at
+    gs144000 scale the full table is ~4 MB and overflows SMEM."""
     cam = pl.program_id(0)
     j = pl.program_id(1)
     k = cam * cpc + j
-    valid = starts_ref[k, 1]
+    valid = sc_ref[0, 0, 1]
 
     feats = (f0, f1, f2, f3)
     wins = (win0, win1, win2, win3)
@@ -144,11 +148,11 @@ def _fwd_kernel(starts_ref, pair_ref,
     # copies ride under this chunk's compute. Slots alternate by chunk
     # parity; starts carry xs/8 so the explicit *8 lets Mosaic prove the
     # dynamic DMA start is sublane-aligned.
-    def start_dma(row, slot):
-        @pl.when(jnp.logical_and(row < nchunks, starts_ref[row, 1] != 0))
+    def start_dma(ref, row_ok, slot):
+        @pl.when(jnp.logical_and(row_ok, ref[0, 0, 1] != 0))
         def _():
-            camr = starts_ref[row, 0]
-            xs = (starts_ref[row, 2] * 8, starts_ref[row, 3] * 8, 0, 0)
+            camr = ref[0, 0, 0]
+            xs = (ref[0, 0, 2] * 8, ref[0, 0, 3] * 8, 0, 0)
             for l in range(4):
                 pltpu.make_async_copy(
                     feats[l].at[camr, :, pl.ds(xs[l], wx[l]), :],
@@ -158,9 +162,9 @@ def _fwd_kernel(starts_ref, pair_ref,
 
     @pl.when(k == 0)
     def _():
-        start_dma(0, 0)
+        start_dma(sc_ref, jnp.bool_(True), 0)
 
-    start_dma(k + 1, jax.lax.rem(k + 1, 2))
+    start_dma(sn_ref, k + 1 < nchunks, jax.lax.rem(k + 1, 2))
 
     @pl.when(valid == 0)
     def _():
@@ -168,7 +172,7 @@ def _fwd_kernel(starts_ref, pair_ref,
 
     @pl.when(valid != 0)
     def _():
-        xs = (starts_ref[k, 2] * 8, starts_ref[k, 3] * 8, 0, 0)
+        xs = (sc_ref[0, 0, 2] * 8, sc_ref[0, 0, 3] * 8, 0, 0)
         pr = pair_ref[0]
         u = pr[:, 0:1]
         v = pr[:, 1:2]
@@ -206,7 +210,7 @@ def _fwd_kernel(starts_ref, pair_ref,
             preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(starts_ref, pair_ref, gout_ref,
+def _bwd_kernel(sc_ref, pair_ref, gout_ref,
                 f0, f1, f2, f3,
                 sr0, sc0, sr1, sc1, sr2, sc2, sr3, sc3,
                 gexp_ref, red_ref,
@@ -216,7 +220,7 @@ def _bwd_kernel(starts_ref, pair_ref, gout_ref,
     cam = pl.program_id(0)
     j = pl.program_id(1)
     k = cam * cpc + j
-    valid = starts_ref[k, 1]
+    valid = sc_ref[0, 0, 1]
 
     feats = (f0, f1, f2, f3)
     wins = (win0, win1, win2, win3)
@@ -239,7 +243,7 @@ def _bwd_kernel(starts_ref, pair_ref, gout_ref,
     def _():
         # starts carry xs/8: the explicit *8 lets Mosaic prove the
         # dynamic DMA start is sublane-aligned
-        xs = (starts_ref[k, 2] * 8, starts_ref[k, 3] * 8, 0, 0)
+        xs = (sc_ref[0, 0, 2] * 8, sc_ref[0, 0, 3] * 8, 0, 0)
         copies = []
         for l in range(4):
             cp = pltpu.make_async_copy(
@@ -374,12 +378,20 @@ def deformable_fused_fwd(feats, pairdat, starts, *,
         _fwd_kernel, shapes=tuple(shapes), wx=tuple(wx), s=s,
         c_dim=c_dim, cpc=cpc, nchunks=nchunks)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    starts3 = starts.reshape(nchunks, 1, 8)
+    return pl.pallas_call(
+        kernel,
         grid=(cams, cpc),
         in_specs=[
+            pl.BlockSpec((1, 1, 8),
+                         lambda cam, j: (cam * cpc + j, 0, 0),
+                         memory_space=pltpu.SMEM),   # current chunk row
+            pl.BlockSpec((1, 1, 8),
+                         lambda cam, j: (jnp.minimum(
+                             cam * cpc + j + 1, nchunks - 1), 0, 0),
+                         memory_space=pltpu.SMEM),   # next chunk row
             pl.BlockSpec((1, s, 32),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
+                         lambda cam, j: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # f0
             pl.BlockSpec(memory_space=pl.ANY),     # f1
@@ -388,22 +400,18 @@ def deformable_fused_fwd(feats, pairdat, starts, *,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=pl.BlockSpec(
             (1, a_chunk, c_dim),
-            lambda cam, j, *_: (cam * cpc + j, 0, 0),
+            lambda cam, j: (cam * cpc + j, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, shapes[l][0], wx[l], c_dim), feats[0].dtype)
             for l in range(4)
         ] + [pltpu.SemaphoreType.DMA((2, 4))],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchunks, a_chunk, c_dim),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(starts, pairdat, *feats, *consts, gexp, red)
+    )(starts3, starts3, pairdat, *feats, *consts, gexp, red)
 
 
 def deformable_fused_bwd(feats, pairdat, starts, g_out, *,
@@ -430,15 +438,19 @@ def deformable_fused_bwd(feats, pairdat, starts, g_out, *,
         _bwd_kernel, shapes=tuple(shapes), wx=tuple(wx), s=s,
         c_dim=c_dim, cpc=cpc)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    starts3 = starts.reshape(nchunks, 1, 8)
+    g_pair, g_f0, g_f1, g_f2, g_f3 = pl.pallas_call(
+        kernel,
         grid=(cams, cpc),
         in_specs=[
+            pl.BlockSpec((1, 1, 8),
+                         lambda cam, j: (cam * cpc + j, 0, 0),
+                         memory_space=pltpu.SMEM),   # current chunk row
             pl.BlockSpec((1, s, 32),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
+                         lambda cam, j: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, a_chunk, c_dim),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
+                         lambda cam, j: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # f0
             pl.BlockSpec(memory_space=pl.ANY),     # f1
@@ -447,11 +459,11 @@ def deformable_fused_bwd(feats, pairdat, starts, g_out, *,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=[
             pl.BlockSpec((1, s, 32),
-                         lambda cam, j, *_: (cam * cpc + j, 0, 0),
+                         lambda cam, j: (cam * cpc + j, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1,) + feats[l].shape[1:],
-                         lambda cam, j, *_: (cam, 0, 0, 0),
+                         lambda cam, j: (cam, 0, 0, 0),
                          memory_space=pltpu.VMEM)
             for l in range(4)
         ],
@@ -459,10 +471,6 @@ def deformable_fused_bwd(feats, pairdat, starts, g_out, *,
             pltpu.VMEM((shapes[l][0], wx[l], c_dim), feats[0].dtype)
             for l in range(4)
         ] + [pltpu.SemaphoreType.DMA((4,))],
-    )
-    g_pair, g_f0, g_f1, g_f2, g_f3 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nchunks, s, 32), jnp.float32),
         ] + [
@@ -472,5 +480,5 @@ def deformable_fused_bwd(feats, pairdat, starts, g_out, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(starts, pairdat, g_out, *feats, *consts, gexp, red)
+    )(starts3, pairdat, g_out, *feats, *consts, gexp, red)
     return (g_f0, g_f1, g_f2, g_f3), g_pair

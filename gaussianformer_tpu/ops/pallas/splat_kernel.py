@@ -33,10 +33,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
-            tc_ref,                             # [1, 1+nc] SMEM block:
+def _kernel(tc_ref,                             # [1, 1, 1+nc] SMEM block:
                                                 # col 0 = count, cols 1..
                                                 # = overlapping chunk ids
+                                                # with the COVERS bit in
+                                                # bit 30 (host-computed)
             pts_ref, pts_int_ref, gdata_ref, box_ref, sem_aug_ref,
             acc_ref, om_ref, *, num_chunks: int, chunk_g: int,
             needs_om: bool, prune: bool = True, zrun: int = 0):
@@ -50,16 +51,8 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
 
     with the per-gaussian constants (B = -izz*vs^2/2 etc.) precomputed
     into gdata rows 9-12 by the wrapper."""
-    i = pl.program_id(0)
     tile_n = pts_ref.shape[0]
     c_aug = sem_aug_ref.shape[1] // 2    # (hi, lo) bf16 column pairs
-
-    t_lo_x = tile_bounds_ref[i, 0]
-    t_lo_y = tile_bounds_ref[i, 1]
-    t_lo_z = tile_bounds_ref[i, 2]
-    t_hi_x = tile_bounds_ref[i, 4]
-    t_hi_y = tile_bounds_ref[i, 5]
-    t_hi_z = tile_bounds_ref[i, 6]
 
     x = pts_ref[:, 0:1]                   # [tile_n, 1] float
     y = pts_ref[:, 1:2]
@@ -72,22 +65,19 @@ def _kernel(tile_bounds_ref, chunk_bounds_ref,  # scalar prefetch (SMEM)
         # prune mode: iterate ONLY the tile's overlapping chunks via the
         # host-built id table (dynamic trip count) — no per-block
         # lax.cond scalar/vector sync, no wasted blocks. The table is
-        # exact, so the old AABB-overlap test is gone entirely.
-        j = tc_ref[0, 0, k + 1] if prune else k
+        # exact, so the old AABB-overlap test is gone entirely. Bit 30
+        # of each entry carries the host-computed COVERS flag: every
+        # gaussian box in the chunk contains the whole tile, so the
+        # AABB mask is all-ones and its ~11 VPU passes can be skipped —
+        # the common case in the big-radius regime.
+        if prune:
+            e = tc_ref[0, 0, k + 1]
+            j = jnp.bitwise_and(e, (1 << 30) - 1)
+            covers = e >= (1 << 30)
+        else:
+            j = k
+            covers = jnp.bool_(False)
         acc, om = carry
-        # every gaussian box in chunk j contains the whole tile (cover
-        # bounds cols 8-13, host-computed with padded rows forced to
-        # non-cover): the AABB mask is all-ones and its ~11 VPU passes
-        # can be skipped — the common case in the big-radius regime
-        # where chunk pruning never fires.
-        covers = (
-            (chunk_bounds_ref[j, 8] <= t_lo_x)
-            & (chunk_bounds_ref[j, 9] <= t_lo_y)
-            & (chunk_bounds_ref[j, 10] <= t_lo_z)
-            & (chunk_bounds_ref[j, 11] >= t_hi_x)
-            & (chunk_bounds_ref[j, 12] >= t_hi_y)
-            & (chunk_bounds_ref[j, 13] >= t_hi_z)
-        )
 
         def compute(with_mask, carry):
             acc, om = carry
@@ -307,76 +297,76 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     pi3 = pts_int[:, :3].reshape(num_tiles, tile_n, 3)
     lo = jnp.min(jnp.where(pi3 < -(10 ** 5), 10 ** 6, pi3), axis=1)
     hi = jnp.max(pi3, axis=1)
-    zero = jnp.zeros((num_tiles, 1), jnp.int32)
-    tile_bounds = jnp.concatenate(
-        [lo, zero, hi, zero], axis=-1).astype(jnp.int32)
 
     glo = (box[:, :3] - box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
     ghi = (box[:, :3] + box[:, 3:6]).reshape(num_chunks, chunk_g, 3)
     # exact per-tile chunk-id table: overlap matrix -> per-row compaction
     # (overlapping ids first, ascending). Cheap ([tiles, chunks] bools)
     # and removes every in-kernel overlap cond — the kernel's chunk loop
-    # has a dynamic trip count of exactly the overlapping chunks.
+    # has a dynamic trip count of exactly the overlapping chunks. Each
+    # id entry carries the COVERS flag in bit 30 (chunk j's boxes ALL
+    # contain the tile → the per-pair AABB mask can be skipped); padded
+    # / dummy rows (negative radii) force non-cover — their zero sem row
+    # is harmless in acc but power=1 would poison the om product. The
+    # whole test lives host-side: the kernel needs no bounds tables at
+    # all (scalar-prefetched bounds were 128-lane padded in SMEM and
+    # overflowed the 1 MB budget at gs144000 scale).
     lo_cb = jnp.min(glo, axis=1)
     hi_cb = jnp.max(ghi, axis=1)
     ov = jnp.all((lo_cb[None, :] <= hi[:, None])
                  & (hi_cb[None, :] >= lo[:, None]), axis=-1)  # [nt, nc]
-    count = jnp.sum(ov, axis=1, dtype=jnp.int32)
-    ids = jnp.argsort(~ov, axis=1, stable=True).astype(jnp.int32)
-    tw = -(-(num_chunks + 1) // 8) * 8
-    table = jnp.concatenate([count[:, None], ids], axis=1)
-    # [nt, 1, tw] with a (1, 1, tw) block: trailing block dims must equal
-    # the array dims for SMEM blocks (Mosaic block-shape rule)
-    table = jnp.pad(table, ((0, 0), (0, tw - 1 - num_chunks)))[:, None, :]
-    zero_c = jnp.zeros((num_chunks, 1), jnp.int32)
-    # cover bounds (cols 8-13): chunk j's boxes ALL contain a tile iff
-    # max_g(lo) <= tile_lo and min_g(hi) >= tile_hi. Padded/dummy rows
-    # (negative radii) must force non-cover — their zero sem row is
-    # harmless in acc but power=1 would poison the om product.
     dummy = (box[:, 3:6] < 0).any(-1).reshape(num_chunks, chunk_g, 1)
     big = jnp.int32(10 ** 6)
     cov_lo = jnp.max(jnp.where(dummy, big, glo), axis=1)
     cov_hi = jnp.min(jnp.where(dummy, -big, ghi), axis=1)
-    chunk_bounds = jnp.concatenate(
-        [jnp.min(glo, axis=1), zero_c, jnp.max(ghi, axis=1), zero_c,
-         cov_lo, cov_hi, zero_c, zero_c],
-        axis=-1).astype(jnp.int32)
+    cov = (jnp.all(cov_lo[None, :] <= lo[:, None], axis=-1)
+           & jnp.all(cov_hi[None, :] >= hi[:, None], axis=-1))  # [nt, nc]
+    count = jnp.sum(ov, axis=1, dtype=jnp.int32)
+    ids = jnp.argsort(~ov, axis=1, stable=True).astype(jnp.int32)
+    entries = ids + (jnp.take_along_axis(
+        cov, ids, axis=1).astype(jnp.int32) << 30)
+    tw = -(-(num_chunks + 1) // 8) * 8
+    table = jnp.concatenate([count[:, None], entries], axis=1)
+    # [nt, 1, tw] with a (1, 1, tw) block: trailing block dims must equal
+    # the array dims for SMEM blocks (Mosaic block-shape rule)
+    table = jnp.pad(table, ((0, 0), (0, tw - 1 - num_chunks)))[:, None, :]
 
     c_aug = sem_aug.shape[1]
     kernel = functools.partial(_kernel, num_chunks=num_chunks,
                                chunk_g=chunk_g, needs_om=needs_om,
                                prune=prune, zrun=zrun)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    acc, om = pl.pallas_call(
+        kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, tw), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, tw), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),   # chunk-id table row
-            pl.BlockSpec((tile_n, 4), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile_n, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 4), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile_n, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # gdata_t (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # box_t (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sem_aug (full)
         ],
         out_specs=[
-            pl.BlockSpec((tile_n, c_aug), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile_n, c_aug), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-    )
-    acc, om = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, c_aug), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
+        # the resident gaussian tables exceed the 16.5 MB default scoped
+        # budget at gs144000 scale (_check_vmem_budget guards the true
+        # ceiling)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_TABLE_BUDGET_BYTES
+            + 16 * 1024 * 1024),
         interpret=interpret,
-    )(tile_bounds, chunk_bounds, table, pts, pts_int, gdata_t, box_t,
-      sem_pair)
+    )(table, pts, pts_int, gdata_t, box_t, sem_pair)
     if zrun and defer_zrun:
         assert n == n_pad, (n, n_pad)
         return acc, om[:, 0]

@@ -133,9 +133,8 @@ def test_keypoints_projection_soa_matches_aos():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(uv[..., 1]),
                                rtol=2e-5, atol=2e-6)
-    # mask comes back K-major [B, C, K, P] for the P-minor softmax
-    np.testing.assert_array_equal(
-        np.asarray(jnp.swapaxes(mask2, 2, 3)), np.asarray(mask))
+    # mask comes back pair-row order [B, C, P, K] (same as u/v)
+    np.testing.assert_array_equal(np.asarray(mask2), np.asarray(mask))
 
 
 def test_pminor_softmax_matches_generic():

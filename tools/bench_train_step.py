@@ -5,6 +5,7 @@ AdamW) on the real chip — the training-side companion to bench.py.
 """
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -64,6 +65,12 @@ def main():
     dt = (time.perf_counter() - t1) / iters
     print(f"train step: {dt * 1e3:.0f} ms  ({1.0 / dt:.2f} steps/s, "
           f"loss {loss_v:.3f})")
+    print(json.dumps({
+        "metric": "prob_gs6400_train_step_ms",
+        "value": round(dt * 1e3, 1), "unit": "ms",
+        "steps_per_s": round(1.0 / dt, 3),
+        "loss_finite_decreasing": bool(loss_v < 1e4),
+    }))
 
 
 if __name__ == "__main__":

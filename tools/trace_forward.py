@@ -91,6 +91,7 @@ def summarize(outdir, iters: int = 3):
     events = trace.get("traceEvents", [])
     # find device-side lanes (TensorCore op events)
     per_op = defaultdict(float)
+    op_meta = {}
     bucket = defaultdict(lambda: [0.0, 0])
     bucket_cat = defaultdict(float)
     total = 0.0
@@ -104,6 +105,8 @@ def summarize(outdir, iters: int = 3):
             name = ev.get("name", "?")
             dur = ev.get("dur", 0) / 1e3  # us → ms
             per_op[name] += dur
+            op_meta[name] = (args.get("tf_op", ""),
+                             args.get("long_name", ""))
             total += dur
             nops += 1
             b = _bucket(args.get("tf_op", ""))
@@ -118,10 +121,12 @@ def summarize(outdir, iters: int = 3):
                        if bb == b), key=lambda kv: -kv[1])[:3]
         catstr = ", ".join(f"{c} {v/iters:.1f}" for c, v in cats)
         print(f"{ms/iters:9.2f} ms  x{cnt//iters:5d}  {b:24s} [{catstr}]")
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:20]
-    print("# --- top single ops ---")
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:25]
+    print("# --- top single ops (with scope / long_name) ---")
     for name, ms in top:
-        print(f"{ms/iters:9.2f} ms  {name[:110]}")
+        tf_op, long_name = op_meta.get(name, ("", ""))
+        extra = tf_op or long_name
+        print(f"{ms/iters:9.2f} ms  {name[:60]:60s}  {extra[:90]}")
 
 
 if __name__ == "__main__":
