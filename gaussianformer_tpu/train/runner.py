@@ -251,9 +251,8 @@ class Trainer:
                         "margin %.2f px (dcn_win=%d)", res["max_offset"],
                         res["margin"], self.cfg.dcn_win)
             return res
-        # needed: margin >= max_offset  =>  win >= 2*max_offset + tile + 3
-        needed = int(np.ceil(2.0 * res["max_offset"])) + 8 + 3
-        needed = (needed + 7) // 8 * 8
+        from ..utils import suggest_dcn_win
+        needed = suggest_dcn_win(res["max_offset"])
         if not auto_widen:
             raise ValueError(
                 f"DCN offsets out of margin: max |offset| "

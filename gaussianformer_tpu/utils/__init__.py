@@ -48,7 +48,8 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
             elif isinstance(v, dict):
                 walk(v, f"{path}/{k}" if path else k)
 
-    walk(inter["intermediates"], "")
+    # a model with no DCN stages sows nothing → no intermediates at all
+    walk(inter.get("intermediates", {}), "")
     max_off = max(per_block.values(), default=0.0)
     return {"max_offset": max_off, "margin": margin,
             "per_block": per_block, "ok": max_off <= margin}
