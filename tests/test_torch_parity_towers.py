@@ -127,23 +127,56 @@ class TBottleneck(tnn.Module):
         return tF.relu(out + idn)
 
 
+class TBasicBlock(tnn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        out = tF.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        idn = x if self.downsample is None else self.downsample(x)
+        return tF.relu(out + idn)
+
+
 class TResNet(tnn.Module):
     """mmseg ResNet naming: conv1/bn1/layer{1..4}.{j}."""
 
-    def __init__(self, base=BASE, dcn_stages=DCN_STAGES):
+    def __init__(self, base=BASE, dcn_stages=DCN_STAGES,
+                 blocks=(1, 1, 1, 1), block="bottleneck"):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, base, 7, stride=2, padding=3,
                                 bias=False)
         self.bn1 = tnn.BatchNorm2d(base)
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        exp = 4 if block == "bottleneck" else 1
         cin = base
         for i in range(4):
             planes = base * (2 ** i)
             stride = 1 if i == 0 else 2
-            blocks = [TBottleneck(cin, planes, stride=stride,
-                                  dcn=dcn_stages[i], downsample=True)]
-            cin = planes * 4
-            setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+            mods = []
+            for j in range(blocks[i]):
+                s = stride if j == 0 else 1
+                need_ds = j == 0 and (s != 1 or cin != planes * exp)
+                if block == "bottleneck":
+                    mods.append(TBottleneck(cin, planes, stride=s,
+                                            dcn=dcn_stages[i],
+                                            downsample=need_ds))
+                else:
+                    mods.append(TBasicBlock(cin, planes, stride=s,
+                                            downsample=need_ds))
+                cin = planes * exp
+            setattr(self, f"layer{i + 1}", tnn.Sequential(*mods))
 
     def forward(self, x):
         x = self.maxpool(tF.relu(self.bn1(self.conv1(x))))
