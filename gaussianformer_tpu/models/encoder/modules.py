@@ -282,6 +282,13 @@ class DeformableFeatureAggregation(nn.Module):
     backend: str = "xla"
     interpret: bool = False     # run the fused Pallas kernel in
                                 # interpreter mode (CPU tests)
+    # emit the attention weights directly in pair-row (K, L, G) order
+    # (cam-major Dense + column-permuted kernel + KLG-minor softmax).
+    # MEASURED OFF on v5e: the 208→256-lane-padded softmax passes plus
+    # the relayout the pair-table concat absorbs cost ~8 ms/frame MORE
+    # than the P-minor softmax + one explicit w_soft transpose they
+    # replace (round-4 trace; docs/PERF.md).
+    pair_row_weights: bool = False
     # key-points generator config
     num_learnable_pts: int = 6
     learnable_fixed_scale: float = 1.0
@@ -315,7 +322,8 @@ class DeformableFeatureAggregation(nn.Module):
 
         # ---- attention weights (reference _get_weights :249-282)
         feature = instance_feature + anchor_embed
-        if self.backend == "fused" and self.use_camera_embed:
+        if (self.backend == "fused" and self.use_camera_embed
+                and self.pair_row_weights):
             # CAM-MAJOR PAIR-ROW pipeline: the Dense runs on
             # [B, C, P, E] (cam-major broadcast — free) with its output
             # columns PERMUTED from the checkpoint's (lvls, pts, groups)
