@@ -282,13 +282,6 @@ class DeformableFeatureAggregation(nn.Module):
     backend: str = "xla"
     interpret: bool = False     # run the fused Pallas kernel in
                                 # interpreter mode (CPU tests)
-    # emit the attention weights directly in pair-row (K, L, G) order
-    # (cam-major Dense + column-permuted kernel + KLG-minor softmax).
-    # MEASURED OFF on v5e: the 208→256-lane-padded softmax passes plus
-    # the relayout the pair-table concat absorbs cost ~8 ms/frame MORE
-    # than the P-minor softmax + one explicit w_soft transpose they
-    # replace (round-4 trace; docs/PERF.md).
-    pair_row_weights: bool = False
     # key-points generator config
     num_learnable_pts: int = 6
     learnable_fixed_scale: float = 1.0
@@ -322,59 +315,78 @@ class DeformableFeatureAggregation(nn.Module):
 
         # ---- attention weights (reference _get_weights :249-282)
         feature = instance_feature + anchor_embed
-        if (self.backend == "fused" and self.use_camera_embed
-                and self.pair_row_weights):
-            # CAM-MAJOR PAIR-ROW pipeline: the Dense runs on
-            # [B, C, P, E] (cam-major broadcast — free) with its output
-            # columns PERMUTED from the checkpoint's (lvls, pts, groups)
-            # order to (pts, lvls, groups), so the result IS the
-            # kernel's per-pair weight table [B, C, P, K, L*G] — the
-            # old path materialized w_soft P-minor and paid a ~5 ms
-            # [B,C,L,K,G,P] → pair-row transpose per call. The masked
-            # softmax runs with KLG on lanes (208 → 256 pad, 1.2x).
-            cam_embed = LinearReluLn(self.embed_dims, 1, 2, 12,
-                                     name="camera_encoder")(
-                projection_mat[:, :, :3].reshape(b, self.num_cams, 12))
-            feature_cm = feature[:, None] + cam_embed[:, :, None]
-            dense = nn.Dense(
-                self.num_groups * self.num_levels * num_pts,
-                kernel_init=nn.initializers.zeros,
-                name="weights_fc")
-            klg = jnp.asarray(
+        if self.backend == "fused":
+            # FLAT-LANE cam-major pipeline: every tensor from the Dense
+            # to the kernel's pair table keeps (K·L·G = num_pts*16) flat
+            # on lanes and [cams, P] on the major dims — the layout the
+            # pair-table concat consumes — so the whole weights path is
+            # transpose-free (the earlier P-minor softmax paid ~1.9 ms
+            # of w_soft transpose + retile per call, and a (K, L, G)-
+            # minor 6-D softmax ~8 ms/frame of minor-dim-4 relayouts;
+            # both measured on v5e, docs/PERF.md). Ingredients:
+            #  * per-group masked softmax over (cams, pts, lvls) uses
+            #    ONE GLOBAL max over all groups as the stabilizer —
+            #    subtracting any bound >= the per-group max leaves
+            #    softmax(w)_g = e/sum(e) mathematically unchanged;
+            #  * the per-group sums are broadcast back to member lanes
+            #    by a constant [KLG, KLG] group-indicator matmul
+            #    (160 MFLOP at flagship size) instead of materializing
+            #    [.., K, L, G]-shaped reduce/broadcast pairs.
+            lg = self.num_levels * self.num_groups
+            klg = num_pts * lg
+            if self.use_camera_embed:
+                cam_embed = LinearReluLn(self.embed_dims, 1, 2, 12,
+                                         name="camera_encoder")(
+                    projection_mat[:, :, :3].reshape(
+                        b, self.num_cams, 12))
+                feature_cm = feature[:, None] + cam_embed[:, :, None]
+                raw = nn.Dense(
+                    lg * num_pts, kernel_init=nn.initializers.zeros,
+                    name="weights_fc")(feature_cm)   # [B, C, P, L*K*G]
+            else:
+                raw = nn.Dense(
+                    self.num_cams * lg * num_pts,
+                    kernel_init=nn.initializers.zeros,
+                    name="weights_fc")(feature)      # [B, P, C*L*K*G]
+                raw = jnp.moveaxis(
+                    raw.reshape(b, p, self.num_cams, klg), 2, 1)
+            # checkpoint column order (L, K, G) → pair-row (K, L, G)
+            perm = jnp.asarray(
                 [(l * num_pts + k) * self.num_groups + g
                  for k in range(num_pts)
                  for l in range(self.num_levels)
                  for g in range(self.num_groups)], jnp.int32)
-            raw = dense(feature_cm)                  # [B, C, P, L*K*G]
-            w6 = raw[..., klg].reshape(
-                b, self.num_cams, p, num_pts, self.num_levels,
-                self.num_groups)
+            w = raw[..., perm]                       # [B, C, P, KLG]
+            # vis_kp [B, C, P, K] → lanes (pair k -> lanes [16k, 16k+16))
+            mask = jnp.repeat(vis_kp, lg, axis=-1)
             if self.attn_drop > 0 and not deterministic:
                 rng = self.make_rng("dropout")
-                keep = jax.random.uniform(rng, w6.shape) > self.attn_drop
-            else:
-                keep = jnp.ones(w6.shape, bool)
-            # vis_kp: [B, C, P, K] from the SoA projection
-            mask = vis_kp[..., None, None] & keep
-            red = (1, 3, 4)                          # cams, pts, lvls
-            all_miss = jnp.sum(mask, axis=red, keepdims=True) == 0
-            miss_b = jnp.broadcast_to(all_miss, mask.shape)
-            w = jnp.where(mask, w6, -jnp.inf)
-            w = jnp.where(miss_b, 0.0, w)
-            m = jnp.max(w, axis=red, keepdims=True)
-            e = jnp.exp(w - m)
-            s = jnp.sum(e, axis=red, keepdims=True)
-            w_soft = jnp.where(miss_b, 0.0, e / s)   # [B,C,P,K,L,G]
-            loc_cm = (u_pk.reshape(b, self.num_cams, p * num_pts),
-                      v_pk.reshape(b, self.num_cams, p * num_pts))
-            w_flat_cm = w_soft.reshape(
-                b, self.num_cams, p * num_pts,
-                self.num_levels * self.num_groups)
+                mask = mask & (jax.random.uniform(rng, w.shape)
+                               > self.attn_drop)
+            # group-indicator matrix: lanes i, j in the same group g
+            grp = jnp.arange(klg) % self.num_groups
+            same_g = (grp[:, None] == grp[None, :]).astype(jnp.float32)
+            maskf = mask.astype(jnp.float32)
+            cnt = jax.lax.dot_general(              # [B, P, KLG]
+                maskf.sum(1), same_g, (((2,), (0,)), ((), ())))
+            miss = cnt == 0.0                       # per-(P, group) lanes
+            m = jnp.max(jnp.where(mask, w, -jnp.inf), axis=(1, 3),
+                        keepdims=True)              # [B, 1, P, 1]
+            # minimum(., 0): w - m <= 0 on every masked lane by
+            # construction; the clamp only guards UNmasked lanes (and
+            # all-miss anchors, where m = -inf) from exp overflow before
+            # maskf zeroes them.
+            e = jnp.exp(jnp.minimum(w - jnp.maximum(m, -1e30), 0.0)) \
+                * maskf
+            s = jax.lax.dot_general(                # [B, P, KLG]
+                e.sum(1, dtype=jnp.float32), same_g,
+                (((2,), (0,)), ((), ())))
+            w_soft = e / jnp.where(miss, 1.0, s)[:, None]
             from ...ops.deformable import deformable_aggregation_fused_cm
             # key-point reduction is fused into the kernel → [b, p, C]
             features = deformable_aggregation_fused_cm(
-                feature_maps, loc_cm, w_flat_cm, self.num_groups, num_pts,
-                interpret=self.interpret)
+                feature_maps, (u_pk, v_pk), w_soft, self.num_groups,
+                num_pts, interpret=self.interpret)
             output = nn.Dense(self.embed_dims, name="output_proj")(
                 features)
             output = nn.Dropout(self.proj_drop,
@@ -408,83 +420,47 @@ class DeformableFeatureAggregation(nn.Module):
                 b, p, self.num_cams, self.num_levels, num_pts,
                 self.num_groups)
 
-        if self.backend != "fused":
-            points_2d, vis_mask = project_points(
-                key_points, projection_mat, image_wh)
+        points_2d, vis_mask = project_points(
+            key_points, projection_mat, image_wh)
 
-        if self.backend == "fused":
-            # fused backend without camera embed: P-minor softmax on
-            # [B, C, L, K, G, P] planes, one transpose out to pair rows
-            w6 = jnp.transpose(
-                weights.reshape(b, p, self.num_cams, -1),
-                (0, 2, 3, 1)).reshape(
-                b, self.num_cams, self.num_levels, num_pts,
-                self.num_groups, p)
-            if self.attn_drop > 0 and not deterministic:
-                rng = self.make_rng("dropout")
-                keep = jax.random.uniform(rng, w6.shape) > self.attn_drop
-            else:
-                keep = jnp.ones(w6.shape, bool)
-            mask = jnp.swapaxes(vis_kp, 2, 3)[
-                :, :, None, :, None, :] & keep
-            all_miss = jnp.sum(mask, axis=(1, 2, 3), keepdims=True) == 0
-            miss_b = jnp.broadcast_to(all_miss, mask.shape)
-            w = jnp.where(mask, w6, -jnp.inf)
-            w = jnp.where(miss_b, 0.0, w)
-            m = jnp.max(w, axis=(1, 2, 3), keepdims=True)
-            e = jnp.exp(w - m)
-            s = jnp.sum(e, axis=(1, 2, 3), keepdims=True)
-            w_soft = jnp.where(miss_b, 0.0, e / s)   # [B,C,L,K,G,P]
-            loc_cm = (u_pk.reshape(b, self.num_cams, p * num_pts),
-                      v_pk.reshape(b, self.num_cams, p * num_pts))
-            w_flat_cm = jnp.transpose(
-                w_soft, (0, 1, 5, 3, 2, 4)).reshape(
-                b, self.num_cams, p * num_pts,
-                self.num_levels * self.num_groups)
-            from ...ops.deformable import deformable_aggregation_fused_cm
-            # key-point reduction is fused into the kernel → [b, p, C]
-            features = deformable_aggregation_fused_cm(
-                feature_maps, loc_cm, w_flat_cm, self.num_groups, num_pts,
-                interpret=self.interpret)
+        if self.attn_drop > 0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.uniform(rng, weights.shape) \
+                > self.attn_drop
         else:
-            if self.attn_drop > 0 and not deterministic:
-                rng = self.make_rng("dropout")
-                keep = jax.random.uniform(rng, weights.shape) \
-                    > self.attn_drop
-            else:
-                keep = jnp.ones(weights.shape, bool)
+            keep = jnp.ones(weights.shape, bool)
 
-            # [B, P, pts, cams, lvls, groups] (reference permute :180-205)
-            weights = jnp.transpose(weights, (0, 1, 4, 2, 3, 5))
-            keep = jnp.transpose(keep, (0, 1, 4, 2, 3, 5))
+        # [B, P, pts, cams, lvls, groups] (reference permute :180-205)
+        weights = jnp.transpose(weights, (0, 1, 4, 2, 3, 5))
+        keep = jnp.transpose(keep, (0, 1, 4, 2, 3, 5))
 
-            # vis: [B, cams, P, pts] → [B, P, pts, cams]
-            vis = jnp.transpose(vis_mask, (0, 2, 3, 1))
-            mask = vis[..., None, None] & keep
-            all_miss = jnp.sum(mask, axis=(2, 3, 4), keepdims=True) == 0
+        # vis: [B, cams, P, pts] → [B, P, pts, cams]
+        vis = jnp.transpose(vis_mask, (0, 2, 3, 1))
+        mask = vis[..., None, None] & keep
+        all_miss = jnp.sum(mask, axis=(2, 3, 4), keepdims=True) == 0
 
-            # softmax over (pts, cams, lvls) with -inf at masked entries;
-            # rows that miss every camera are softmaxed over zeros and
-            # then zeroed out entirely (reference :219-224 — avoids NaN
-            # from all -inf).
-            miss_b = jnp.broadcast_to(all_miss, mask.shape)
-            w = jnp.where(mask, weights, -jnp.inf)
-            w = jnp.where(miss_b, 0.0, w)
-            w_flat = w.reshape(
-                b, p, num_pts * self.num_cams * self.num_levels,
-                self.num_groups)
-            w_soft = jax.nn.softmax(w_flat, axis=-2)
-            w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
-            w_soft = w_soft.reshape(b, p * num_pts,
-                                    self.num_cams, self.num_levels,
-                                    self.num_groups)
+        # softmax over (pts, cams, lvls) with -inf at masked entries;
+        # rows that miss every camera are softmaxed over zeros and
+        # then zeroed out entirely (reference :219-224 — avoids NaN
+        # from all -inf).
+        miss_b = jnp.broadcast_to(all_miss, mask.shape)
+        w = jnp.where(mask, weights, -jnp.inf)
+        w = jnp.where(miss_b, 0.0, w)
+        w_flat = w.reshape(
+            b, p, num_pts * self.num_cams * self.num_levels,
+            self.num_groups)
+        w_soft = jax.nn.softmax(w_flat, axis=-2)
+        w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
+        w_soft = w_soft.reshape(b, p * num_pts,
+                                self.num_cams, self.num_levels,
+                                self.num_groups)
 
-            loc = jnp.transpose(points_2d, (0, 2, 3, 1, 4)).reshape(
-                b, p * num_pts, self.num_cams, 2)
-            features = deformable_aggregation(
-                feature_maps, loc, w_soft, self.num_groups)
-            features = features.reshape(b, p, num_pts, self.embed_dims)
-            features = jnp.sum(features, axis=2)
+        loc = jnp.transpose(points_2d, (0, 2, 3, 1, 4)).reshape(
+            b, p * num_pts, self.num_cams, 2)
+        features = deformable_aggregation(
+            feature_maps, loc, w_soft, self.num_groups)
+        features = features.reshape(b, p, num_pts, self.embed_dims)
+        features = jnp.sum(features, axis=2)
 
         output = nn.Dense(self.embed_dims, name="output_proj")(features)
         output = nn.Dropout(self.proj_drop,

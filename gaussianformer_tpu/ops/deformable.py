@@ -260,12 +260,15 @@ def deformable_aggregation_fused(feature_maps, points_2d, weights,
     (``spill_budget`` pairs; beyond that they are dropped — use
     :func:`deformable_fused_spill_stats` to validate a config's rate).
     """
+    b, q, cams = points_2d.shape[:3]
+    p = q // num_pts
+    pts_cm = jnp.moveaxis(points_2d, 2, 1)          # [B, C, Q, 2]
+    w_cm = jnp.moveaxis(weights.reshape(b, q, cams, -1), 2, 1)
     return deformable_aggregation_fused_cm(
         feature_maps,
-        jnp.moveaxis(points_2d, 2, 1),
-        jnp.moveaxis(weights.reshape(points_2d.shape[0],
-                                     points_2d.shape[1],
-                                     points_2d.shape[2], -1), 2, 1),
+        (pts_cm[..., 0].reshape(b, cams, p, num_pts),
+         pts_cm[..., 1].reshape(b, cams, p, num_pts)),
+        w_cm.reshape(b, cams, p, num_pts * w_cm.shape[-1]),
         num_groups, num_pts, spill_budget=spill_budget,
         interpret=interpret)
 
@@ -294,12 +297,12 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
 
     feature_maps: raw per-level list ([B, cams, H_l, W_l, C] each) or a
     :func:`prepack_feature_maps_cm` result.
-    points_cm:  [B, cams, Q, 2], or an SoA tuple (u, v) each
-    [B, cams, Q] (preferred on TPU — avoids materializing a minor-dim-2
-    array); weights_cm: [B, cams, Q, L*G] — the layouts the projection
-    and the per-camera chunking naturally use, so the wrapper does no
-    [Q, cams] ↔ [cams, Q] transposes (measured ~2.5 ms/call of pure
-    data movement at flagship size).
+    points_cm: an SoA tuple (u, v), each [B, cams, P, num_pts]
+    (pair-row layout — the shape the SoA projection produces; keeping
+    num_pts on lanes avoids the [Q]↔[P, K] relayouts) or each
+    [B, cams, Q]; weights_cm: [B, cams, P, num_pts*L*G] with per-pair
+    lanes in (K, L, G) order (i.e. pair k occupies lanes
+    [k*16, (k+1)*16) in (L, G) order), or the legacy [B, cams, Q, L*G].
     """
     from .pallas.deformable_kernel import (deformable_fused_fwd,
                                            deformable_fused_bwd)
@@ -318,8 +321,15 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
         u_all, v_all = points_cm
     else:
         u_all, v_all = points_cm[..., 0], points_cm[..., 1]
-    q = u_all.shape[2]
-    p = q // num_pts
+    if u_all.ndim == 3:                  # legacy [B, cams, Q] layout
+        p = u_all.shape[2] // num_pts
+        u_all = u_all.reshape(b, cams, p, num_pts)
+        v_all = v_all.reshape(b, cams, p, num_pts)
+    else:
+        p = u_all.shape[2]
+    lg = 4 * num_groups                  # num_levels * num_groups
+    if weights_cm.shape[-1] == lg:       # legacy [B, cams, Q, L*G]
+        weights_cm = weights_cm.reshape(b, cams, p, num_pts * lg)
 
     outs = []
     for bi in range(b):
@@ -334,10 +344,9 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
 def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
                   a_chunk, p, cams, c_dim, spill_budget, fwd_fn, bwd_fn,
                   interpret):
-    """One batch element. points_cm: (u, v) each [cams, Q]; weights_cm
-    [cams, Q, L*G]."""
-    u, v = points_cm                              # [cams, Q] each
-    q = u.shape[1]
+    """One batch element. points_cm: (u, v) each [cams, P, num_pts];
+    weights_cm [cams, P, num_pts*L*G] in (K, L, G) lane order."""
+    u, v = points_cm                              # [cams, P, K] each
     p_pad = -(-p // a_chunk) * a_chunk
     qp = p_pad * num_pts
     nchunk = p_pad // a_chunk
@@ -346,7 +355,7 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     h0, w0 = shapes[0]
     x0_l0 = jnp.floor(u * w0 - 0.5).astype(jnp.int32)
     pair_key = jnp.where(inside, x0_l0, _BIGKEY)
-    anchor_key = pair_key.reshape(cams, p, num_pts).min(-1)
+    anchor_key = pair_key.min(-1)                 # [cams, P]
     anchor_key = jnp.pad(anchor_key, ((0, 0), (0, p_pad - p)),
                          constant_values=_BIGKEY)
     order = jnp.argsort(anchor_key, axis=-1)      # [cams, p_pad]
@@ -358,15 +367,23 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     # 16 weights), permuted at ANCHOR granularity: TPU gathers are
     # row-descriptor-bound, so gathering [cams, p_pad] rows of
     # num_pts*20 floats costs ~num_pts times less than the same bytes
-    # as pair rows (measured 2.9 -> 0.7 ms per call at flagship size)
-    # 32 columns per pair from the start — the gathered table doubles
-    # as the kernel's pairdat block with no separate pad/slice rewrite
-    packed = jnp.concatenate(
-        [jnp.stack([u, v, inside.astype(u.dtype),
-                    jnp.zeros_like(u)], axis=-1), weights_cm,
-         jnp.zeros(u.shape + (12,), u.dtype)], axis=-1)
-    packed = jnp.pad(packed.reshape(cams, p, num_pts * 32),
-                     ((0, 0), (0, p_pad - p), (0, 0)))
+    # as pair rows (measured 2.9 -> 0.7 ms per call at flagship size).
+    # The [cams, P, 224] table is assembled by ONE lane-interleave
+    # concat of static slices of the pair-row inputs — everything stays
+    # anchor-major with full lanes, so no tensor in the chain ever needs
+    # a tiled relayout (the old [.., K, L, G]-minor build cost ~1.9 ms
+    # of transpose + retile copies per call at flagship size). Pair k
+    # occupies lanes [32k, 32k+32): u, v, inside, 0, 16 weights, 12 pad
+    # — the gathered table doubles as the kernel's pairdat block.
+    ins_f = inside.astype(u.dtype)
+    zero1 = jnp.zeros((cams, p, 1), u.dtype)
+    zero12 = jnp.zeros((cams, p, 12), u.dtype)
+    parts = []
+    for k in range(num_pts):
+        parts += [u[..., k:k + 1], v[..., k:k + 1], ins_f[..., k:k + 1],
+                  zero1, weights_cm[..., 16 * k:16 * (k + 1)], zero12]
+    packed = jnp.concatenate(parts, axis=-1)      # [cams, P, 32*K]
+    packed = jnp.pad(packed, ((0, 0), (0, p_pad - p), (0, 0)))
     # materialize before gathering: without the barrier XLA fuses the
     # interleave chain above INTO the gather's fused computation and
     # re-evaluates it per gathered element (~9 ms/frame vs 0.33 ms for

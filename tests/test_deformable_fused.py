@@ -137,12 +137,16 @@ def test_keypoints_projection_soa_matches_aos():
     np.testing.assert_array_equal(np.asarray(mask2), np.asarray(mask))
 
 
-def test_pminor_softmax_matches_generic():
-    """The fused branch's P-minor masked softmax must equal the generic
-    path's (pts, cams, lvls)-softmax on the same logits + vis mask."""
+def test_flat_lane_softmax_matches_generic():
+    """The fused branch's flat-lane masked softmax (global-max
+    stabilizer + group-indicator matmul, modules.py fused branch) must
+    equal the generic path's (pts, cams, lvls)-softmax per group on the
+    same logits + vis mask."""
     rng = np.random.RandomState(7)
     b, p, cams, L, K, G = 1, 10, 3, 4, 5, 4
-    weights = jnp.asarray(rng.randn(b, p, cams, L, K, G), jnp.float32)
+    klg = K * L * G
+    weights = jnp.asarray(rng.randn(b, p, cams, L, K, G) * 4.0,
+                          jnp.float32)
     vis = jnp.asarray(rng.rand(b, cams, p, K) > 0.3)       # [B,C,P,K]
     # one anchor missing from every camera → uniform-zero row
     vis = vis.at[:, :, 3].set(False)
@@ -160,23 +164,29 @@ def test_pminor_softmax_matches_generic():
     w_soft = jnp.where(miss_b.reshape(w_flat.shape), 0.0, w_soft)
     want = w_soft.reshape(b, p, K, cams, L, G)
 
-    # P-minor formula (fused branch)
-    vis_kp = jnp.transpose(vis, (0, 1, 3, 2))              # [B,C,K,P]
-    w6 = jnp.transpose(weights.reshape(b, p, cams, -1),
-                       (0, 2, 3, 1)).reshape(b, cams, L, K, G, p)
-    mask6 = vis_kp[:, :, None, :, None, :] & jnp.ones(w6.shape, bool)
-    am = jnp.sum(mask6, axis=(1, 2, 3), keepdims=True) == 0
-    mb = jnp.broadcast_to(am, mask6.shape)
-    w2 = jnp.where(mask6, w6, -jnp.inf)
-    w2 = jnp.where(mb, 0.0, w2)
-    m = jnp.max(w2, axis=(1, 2, 3), keepdims=True)
-    e = jnp.exp(w2 - m)
-    s = jnp.sum(e, axis=(1, 2, 3), keepdims=True)
-    got6 = jnp.where(mb, 0.0, e / s)                       # [B,C,L,K,G,P]
-    got = jnp.transpose(got6, (0, 5, 3, 1, 2, 4))          # [B,P,K,C,L,G]
+    # flat-lane formula (fused branch): [B, C, P, KLG], (K, L, G) lanes
+    raw = jnp.moveaxis(weights, 2, 1).reshape(b, cams, p, L * K * G)
+    perm = jnp.asarray([(l * K + k) * G + g
+                        for k in range(K) for l in range(L)
+                        for g in range(G)], jnp.int32)
+    wf = raw[..., perm]
+    maskf = jnp.repeat(vis, L * G, axis=-1).astype(jnp.float32)
+    grp = jnp.arange(klg) % G
+    same_g = (grp[:, None] == grp[None, :]).astype(jnp.float32)
+    cnt = jax.lax.dot_general(maskf.sum(1), same_g,
+                              (((2,), (0,)), ((), ())))
+    miss = cnt == 0.0
+    m = jnp.max(jnp.where(maskf > 0, wf, -jnp.inf), axis=(1, 3),
+                keepdims=True)
+    e = jnp.exp(jnp.minimum(wf - jnp.maximum(m, -1e30), 0.0)) * maskf
+    s = jax.lax.dot_general(e.sum(1, dtype=jnp.float32), same_g,
+                            (((2,), (0,)), ((), ())))
+    got_flat = e / jnp.where(miss, 1.0, s)[:, None]        # [B,C,P,KLG]
+    got = jnp.transpose(
+        got_flat.reshape(b, cams, p, K, L, G), (0, 2, 3, 1, 4, 5))
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-6, atol=2e-7)
+                               rtol=2e-5, atol=1e-7)
 
 
 def test_module_fused_branch_matches_generic():
