@@ -44,9 +44,7 @@ def stem_conv_apply(x, kernel, dtype):
     and ~1/4 the taps. ``kernel`` keeps the reference [7,7,C,F] layout:
     out[y] = sum_ky in[2y+ky-3] W[ky] with ky = 2A+dy-1, A in 0..3,
     dy in {0,1}, so W2[A,B,(dy,dx,c)] = Wpad[2A+dy, 2B+dx, c] and the
-    sliding window runs over s2d rows y-2..y+1 (asym padding (2,1)).
-    The paired-trunk path stacks two towers' kernels along the output
-    axis (shared input → plain conv, no grouping needed)."""
+    sliding window runs over s2d rows y-2..y+1 (asym padding (2,1))."""
     b, h, w, c = x.shape
     features = kernel.shape[-1]
     if h % 2 or w % 2:

@@ -381,7 +381,12 @@ class DeformableFeatureAggregation(nn.Module):
             s = jax.lax.dot_general(                # [B, P, KLG]
                 e.sum(1, dtype=jnp.float32), same_g,
                 (((2,), (0,)), ((), ())))
-            w_soft = e / jnp.where(miss, 1.0, s)[:, None]
+            # max(s, 1e-30): a group whose max logit sits ~104+ below
+            # the GLOBAL stabilizer m underflows e to exactly 0, giving
+            # s=0 with cnt>0 → 0/0 NaN without the clamp (the per-group
+            # reference softmax cannot hit this)
+            w_soft = e / jnp.where(miss, 1.0,
+                                   jnp.maximum(s, 1e-30))[:, None]
             from ...ops.deformable import deformable_aggregation_fused_cm
             # key-point reduction is fused into the kernel → [b, p, C]
             features = deformable_aggregation_fused_cm(

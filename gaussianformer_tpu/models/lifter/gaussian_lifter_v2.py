@@ -85,12 +85,9 @@ class GaussianLifterV2(nn.Module):
                  occ_cam_mask=None, secondfpn_out=None, *,
                  rng: Optional[jax.Array] = None,
                  compute_gt: bool = True,
-                 fuse_dcn_epilogue: bool = False,
-                 trunk_feats=None):
+                 fuse_dcn_epilogue: bool = False):
         """imgs: [B, N, H, W, 3]; projection_mat: [B, N, 4, 4] (lidar→img);
-        occ_label: [B, X, Y, Z] int; occ_cam_mask: [B, X, Y, Z] bool.
-        ``trunk_feats``: precomputed initializer ResNet stage outputs
-        (from the paired-trunk path) — SECONDFPN still runs here."""
+        occ_label: [B, X, Y, Z] int; occ_cam_mask: [B, X, Y, Z] bool."""
         b, n = imgs.shape[:2]
         if secondfpn_out is None:
             assert self.use_initializer
@@ -107,8 +104,7 @@ class GaussianLifterV2(nn.Module):
                 # remat boundary blocks conv-epilogue fusion
                 with_cp=not fuse_dcn_epilogue,
                 name="initialize_backbone")(
-                imgs.reshape((b * n,) + imgs.shape[2:]),
-                trunk_feats=trunk_feats)
+                imgs.reshape((b * n,) + imgs.shape[2:]))
             secondfpn_out = feat.reshape((b, n) + feat.shape[1:])
         h, w = secondfpn_out.shape[2:4]
 

@@ -25,23 +25,17 @@ class ResNetSecondFPN(nn.Module):
     dcn_win: int = 24
 
     @nn.compact
-    def __call__(self, imgs, trunk_feats=None):
-        """imgs: [B*N, H, W, 3] → [B*N, H/8, W/8, sum(out_channels)].
-
-        ``trunk_feats``: precomputed ResNet stage outputs (paired-trunk
-        path, models/backbone/paired.py) — skips the ResNet here."""
+    def __call__(self, imgs):
+        """imgs: [B*N, H, W, 3] → [B*N, H/8, W/8, sum(out_channels)]."""
         import jax.numpy as jnp
         dt = jnp.dtype(self.dtype)
-        if trunk_feats is not None:
-            feats = tuple(trunk_feats[i] for i in self.out_indices)
-        else:
-            feats = ResNet(
-                depth=self.depth, out_indices=self.out_indices,
-                style=self.style, stage_with_dcn=self.stage_with_dcn,
-                with_cp=self.with_cp, base_channels=self.base_channels,
-                dtype=dt, fuse_dcn_epilogue=self.fuse_dcn_epilogue,
-                dcn_win=self.dcn_win,
-                name="img_backbone")(imgs)
+        feats = ResNet(
+            depth=self.depth, out_indices=self.out_indices,
+            style=self.style, stage_with_dcn=self.stage_with_dcn,
+            with_cp=self.with_cp, base_channels=self.base_channels,
+            dtype=dt, fuse_dcn_epilogue=self.fuse_dcn_epilogue,
+            dcn_win=self.dcn_win,
+            name="img_backbone")(imgs)
         out = SECONDFPN(
             out_channels=self.out_channels,
             upsample_strides=self.upsample_strides, dtype=dt,

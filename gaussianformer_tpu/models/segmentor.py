@@ -29,45 +29,12 @@ class BEVSegmentor(nn.Module):
     encoder_cfg: dict = None
     head_cfg: dict = None
     img_backbone_out_indices: Tuple[int, ...] = (0, 1, 2, 3)
-    # run the main backbone and the lifter-v2 initializer trunk
-    # channel-stacked through one op sequence (models/backbone/paired.py):
-    # one grouped conv / one Pallas DCN grid per block pair instead of
-    # two. MEASURED OFF by default on v5e: XLA's feature_group_count=2
-    # lowering refuses to fuse the BN/ReLU/residual epilogues that the
-    # per-tower convs absorb (~16 ms/frame of bare elementwise) and the
-    # paired DCN kernel is compute-bound (51 ms either way) — the paired
-    # graph traced 263 vs 240 ms device (docs/PERF.md round-4 notes).
-    # Kept as an option: the trunk math + grads are test-verified, and
-    # the trade may flip on other topologies/compilers.
-    pair_towers: bool = False
-
-    def _can_pair(self) -> bool:
-        if self.lifter_type != "v2":
-            return False
-        bb = dict(self.backbone_cfg or {})
-        lc = dict(self.lifter_cfg or {})
-        if not lc.get("use_initializer", True):
-            return False
-        same = (
-            bb.get("depth", 101) == lc.get("initializer_depth", 101)
-            and tuple(bb.get("stage_with_dcn",
-                             (False, False, False, False)))
-            == tuple(lc.get("initializer_dcn",
-                            (False, False, True, True)))
-            and bb.get("base_channels", 64)
-            == lc.get("initializer_base_channels", 64)
-            and bb.get("style", "caffe") == "caffe"
-            and jnp.dtype(bb.get("dtype", jnp.float32))
-            == jnp.dtype(lc.get("initializer_dtype", "float32"))
-            and bb.get("strides", (1, 2, 2, 2)) == (1, 2, 2, 2)
-            and bb.get("dilations", (1, 1, 1, 1)) == (1, 1, 1, 1)
-            and tuple(bb.get("out_indices", (0, 1, 2, 3)))
-            == (0, 1, 2, 3)
-            and bb.get("num_stages", 4) == 4)
-        if not same:
-            return False
-        from .backbone.resnet import ARCH_SETTINGS
-        return ARCH_SETTINGS[bb.get("depth", 101)][0] == "bottleneck"
+    # NOTE: a channel-stacked "paired towers" trunk (one grouped conv /
+    # one Pallas DCN grid per block pair) was implemented, measured 23 ms
+    # SLOWER on v5e (263 vs 240 ms device — XLA's grouped-conv lowering
+    # does not fuse the BN/ReLU/residual epilogues), and removed; the
+    # implementation is preserved in git history (commit 83a0992,
+    # removed after round 4). See docs/PERF.md round-4 notes.
 
     @nn.compact
     def __call__(self, imgs, projection_mat, image_wh,
@@ -75,15 +42,12 @@ class BEVSegmentor(nn.Module):
                  anchor_points=None, *,
                  training: bool = False, rng: Optional[jax.Array] = None,
                  rep_only: bool = False, occ_only: bool = False,
-                 apply_loss_layers: Optional[Sequence[int]] = None,
-                 pair_towers: Optional[bool] = None
+                 apply_loss_layers: Optional[Sequence[int]] = None
                  ) -> Dict[str, Any]:
         """imgs: [B, N_cam, H, W, 3] normalized images (NHWC).
 
         projection_mat: [B, N_cam, 4, 4] lidar→image; image_wh [B, N_cam, 2].
         occ_*: voxel ground truth (needed for head sampling / losses).
-        ``pair_towers``: override the module default (e.g. the DCN
-        offset-margin check needs the unpaired path for its sows).
         """
         b, n = imgs.shape[:2]
 
@@ -104,32 +68,7 @@ class BEVSegmentor(nn.Module):
         backbone_cfg["with_cp"] = (backbone_cfg.get("with_cp", False)
                                    and training)
 
-        paired = (self.pair_towers if pair_towers is None else pair_towers)
-        paired = (paired and not self.is_initializing()
-                  and self._can_pair())
-        init_trunk_feats = None
-        if paired:
-            from .backbone.paired import paired_resnet_apply
-            pv = self.variables["params"]
-            sv = self.variables["batch_stats"]
-            pb_tree = pv["lifter"]["initialize_backbone"]["img_backbone"]
-            sb_tree = sv["lifter"]["initialize_backbone"]["img_backbone"]
-            feats_a, init_trunk_feats = paired_resnet_apply(
-                pv["img_backbone"], sv["img_backbone"],
-                pb_tree, sb_tree, flat,
-                depth=backbone_cfg.get("depth", 101),
-                stage_with_dcn=tuple(backbone_cfg.get(
-                    "stage_with_dcn", (False, False, False, False))),
-                style="caffe",
-                base_channels=backbone_cfg.get("base_channels", 64),
-                dtype=backbone_cfg.get("dtype", jnp.float32),
-                dcn_win=backbone_cfg.get("dcn_win", 24),
-                fuse_dcn_epilogue=backbone_cfg.get(
-                    "fuse_dcn_epilogue", not training),
-                with_cp=backbone_cfg.get("with_cp", False) and training)
-            stage_feats = feats_a
-        else:
-            stage_feats = ResNet(**backbone_cfg, name="img_backbone")(flat)
+        stage_feats = ResNet(**backbone_cfg, name="img_backbone")(flat)
         stage_feats = [stage_feats[i] for i in self.img_backbone_out_indices]
         ms_feats = FPN(**neck_cfg, name="img_neck")(stage_feats)
         ms_img_feats = [
@@ -150,8 +89,7 @@ class BEVSegmentor(nn.Module):
                 imgs, projection_mat, image_wh,
                 occ_label=occ_label, occ_cam_mask=occ_cam_mask,
                 rng=rng_lifter, compute_gt=training,
-                fuse_dcn_epilogue=not training,
-                trunk_feats=init_trunk_feats)
+                fuse_dcn_epilogue=not training)
 
         # ---- iterative refinement
         enc_out = GaussianOccEncoder(

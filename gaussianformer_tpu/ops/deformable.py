@@ -299,14 +299,20 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
     :func:`prepack_feature_maps_cm` result.
     points_cm: an SoA tuple (u, v), each [B, cams, P, num_pts]
     (pair-row layout — the shape the SoA projection produces; keeping
-    num_pts on lanes avoids the [Q]↔[P, K] relayouts) or each
-    [B, cams, Q]; weights_cm: [B, cams, P, num_pts*L*G] with per-pair
-    lanes in (K, L, G) order (i.e. pair k occupies lanes
-    [k*16, (k+1)*16) in (L, G) order), or the legacy [B, cams, Q, L*G].
+    num_pts on lanes avoids the [Q]↔[P, K] relayouts);
+    weights_cm: [B, cams, P, num_pts*L*G] with per-pair lanes in
+    (K, L, G) order (i.e. pair k occupies lanes [k*16, (k+1)*16) in
+    (L, G) order).
+
+    The kernel's pair rows hard-code 16 weight lanes per pair and a
+    g=4 group split of the feature channels: only num_groups == 4 with
+    num_levels == 4 is supported (all reference configs use 4/4).
     """
     from .pallas.deformable_kernel import (deformable_fused_fwd,
                                            deformable_fused_bwd)
-    assert num_groups == 4
+    assert num_groups == 4, (
+        "fused deformable kernel supports num_groups=4 only "
+        f"(got {num_groups}); use backend='xla' otherwise")
     if (isinstance(feature_maps, tuple) and len(feature_maps) == 3
             and feature_maps[0] == "cm_prepacked"):
         _, padded, shapes = feature_maps
@@ -317,19 +323,11 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
     c_dim = padded[0].shape[-1]
     wx = _window_widths(shapes)
     a_chunk = _fused_chunk_geometry(num_pts)
-    if isinstance(points_cm, tuple):
-        u_all, v_all = points_cm
-    else:
-        u_all, v_all = points_cm[..., 0], points_cm[..., 1]
-    if u_all.ndim == 3:                  # legacy [B, cams, Q] layout
-        p = u_all.shape[2] // num_pts
-        u_all = u_all.reshape(b, cams, p, num_pts)
-        v_all = v_all.reshape(b, cams, p, num_pts)
-    else:
-        p = u_all.shape[2]
+    u_all, v_all = points_cm
+    assert u_all.ndim == 4, u_all.shape  # [B, cams, P, num_pts]
+    p = u_all.shape[2]
     lg = 4 * num_groups                  # num_levels * num_groups
-    if weights_cm.shape[-1] == lg:       # legacy [B, cams, Q, L*G]
-        weights_cm = weights_cm.reshape(b, cams, p, num_pts * lg)
+    assert weights_cm.shape[-1] == num_pts * lg, weights_cm.shape
 
     outs = []
     for bi in range(b):

@@ -238,197 +238,6 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     return out[:, :h, :w]
 
 
-def _paired_kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf,
-                   sem, *, h: int, w: int, c_half: int, c_out_half: int,
-                   win: int, tile: int, num_tc: int, epilogue: bool):
-    """Two-tower variant of :func:`_kernel` for the paired R101 trunk
-    (VERDICT r3 item 1a): the input is channel-stacked [B, H, W, 2*C],
-    per-tile both towers' interpolation matrices are built in one
-    invocation and applied to their channel halves — one strip DMA and
-    one grid launch where the unpaired path needs two, and the second
-    tower's VPU M-build can overlap the first tower's MXU matmuls."""
-    i = pl.program_id(1)
-    b = pl.program_id(0)
-    lead = (win - tile) // 2
-    kk = 9
-    wty = win - tile                # per-tap row window (see _kernel)
-    lead_ty = (wty - tile) // 2
-
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
-    copy.start()
-
-    s_tap = tile * tile
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_tap), 1)
-    py = (q_iota // tile).astype(jnp.float32)
-    px = (q_iota % tile).astype(jnp.float32)
-    iota_ty = jax.lax.broadcasted_iota(jnp.int32, (wty, 1), 0)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
-
-    copy.wait()
-
-    def one_tile(j, _):
-        win3d = strip_buf[:, pl.ds(j * tile, win), :]  # [win, win, 2C]
-        outs = []
-        for t in range(2):
-            out_t = jnp.zeros((tile * tile, c_out_half), jnp.float32)
-            for k in range(kk):
-                ty = k // 3 - 1
-                tx = k % 3 - 1
-                sl = slice(k * s_tap, (k + 1) * s_tap)
-                off_y = offm_ref[0, j, 3 * t:3 * t + 1, sl]
-                off_x = offm_ref[0, j, 3 * t + 1:3 * t + 2, sl]
-                mask = offm_ref[0, j, 3 * t + 2:3 * t + 3, sl]
-
-                sy = (i * tile + ty).astype(jnp.float32) + py + off_y
-                sx = (j * tile + tx).astype(jnp.float32) + px + off_x
-                y0 = jnp.floor(sy)
-                x0 = jnp.floor(sx)
-                fy = sy - y0
-                fx = sx - x0
-                y0i = y0.astype(jnp.int32)
-                x0i = x0.astype(jnp.int32)
-                ry0 = y0i - (i * tile + ty - lead_ty)
-                rx0 = x0i - (j * tile - lead)
-                oky0 = (y0i >= 0) & (y0i <= h - 1)
-                oky1 = (y0i >= -1) & (y0i <= h - 2)
-                okx0 = (x0i >= 0) & (x0i <= w - 1)
-                okx1 = (x0i >= -1) & (x0i <= w - 2)
-                r_fac = (jnp.where(iota_ty == ry0,
-                                   (1.0 - fy) * oky0, 0.0)
-                         + jnp.where(iota_ty == ry0 + 1,
-                                     fy * oky1, 0.0)) * mask
-                c_fac = (jnp.where(iota_w == rx0,
-                                   (1.0 - fx) * okx0, 0.0)
-                         + jnp.where(iota_w == rx0 + 1,
-                                     fx * okx1, 0.0))
-                m_t = (r_fac[:, None, :] * c_fac[None, :, :]).reshape(
-                    wty * win, s_tap).astype(strip_buf.dtype)
-
-                r0 = lead + ty - lead_ty
-                win_k = win3d[r0:r0 + wty, :,
-                              t * c_half:(t + 1) * c_half].reshape(
-                    wty * win, c_half)
-                acc = jax.lax.dot_general(
-                    m_t, win_k, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(
-                    strip_buf.dtype)
-                out_t = out_t + jax.lax.dot_general(
-                    acc, w_ref[t, k], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            if epilogue:
-                out_t = jnp.maximum(
-                    out_t * epi_ref[t, 0:1, :] + epi_ref[t, 1:2, :], 0.0)
-            outs.append(out_t)
-        out = jnp.concatenate(outs, axis=-1)
-        out_ref[0, :, pl.ds(j * tile, tile), :] = out.reshape(
-            tile, tile, 2 * c_out_half).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, num_tc, one_tile, 0)
-
-
-def _pack_offm2(offset_a, mask_a, offset_b, mask_b, num_tr, num_tc, tile):
-    """Both towers' (offset, mask) → [B, nt, 8, kk*T*T]: rows
-    (dyA, dxA, mA, dyB, dxB, mB, pad, pad) — same block shape as
-    :func:`_pack_offm`, no extra VMEM."""
-    b, h, w, _ = offset_a.shape
-    kk = mask_a.shape[-1]
-    h_pad = num_tr * tile
-    w_pad = num_tc * tile
-
-    def prep(offset, mask):
-        off = jnp.pad(offset,
-                      ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
-        msk = jnp.pad(mask,
-                      ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
-        off = off.reshape(b, h_pad, w_pad, kk, 2)
-        return off[..., 0], off[..., 1], msk
-
-    dya, dxa, ma = prep(offset_a, mask_a)
-    dyb, dxb, mb = prep(offset_b, mask_b)
-    data = jnp.stack([dya, dxa, ma, dyb, dxb, mb], axis=3)  # [B,H,W,6,kk]
-    data = data.reshape(b, num_tr, tile, num_tc, tile, 6, kk)
-    data = data.transpose(0, 1, 3, 5, 6, 2, 4).reshape(
-        b, num_tr * num_tc, 6, kk * tile * tile)
-    return jnp.pad(data, ((0, 0), (0, 0), (0, 2), (0, 0)))
-
-
-def deform_conv2d_pallas_paired_fwd(x, offsets, masks, weights, *,
-                                    win: int = 24, tile: int = 8,
-                                    interpret: bool = False,
-                                    epilogues=None):
-    """Forward-only paired DCN: x [B, H, W, 2*C] channel-stacked
-    (tower A = [..., :C], tower B = [..., C:]); ``offsets`` / ``masks``
-    / ``weights`` are (tower_a, tower_b) tuples with the single-tower
-    shapes; ``epilogues`` optionally ((inv, shift), (inv, shift)).
-    Returns [B, H, W, 2*C_out] channel-stacked."""
-    b, h, w, c2 = x.shape
-    c_half = c2 // 2
-    wa, wb = weights
-    k = wa.shape[0]
-    c_out_half = wa.shape[-1]
-    assert k == 3 and wa.shape == wb.shape
-    assert h >= win and w >= win, (h, w, win)
-    num_tr = -(-h // tile)
-    num_tc = -(-w // tile)
-
-    offm = _pack_offm2(
-        offsets[0].astype(jnp.float32), masks[0].astype(jnp.float32),
-        offsets[1].astype(jnp.float32), masks[1].astype(jnp.float32),
-        num_tr, num_tc, tile)
-    w_taps = jnp.stack(
-        [wa.reshape(k * k, c_half, c_out_half),
-         wb.reshape(k * k, c_half, c_out_half)]).astype(x.dtype)
-    if epilogues is not None:
-        epi = jnp.stack([
-            jnp.concatenate(
-                [inv.astype(jnp.float32)[None],
-                 shift.astype(jnp.float32)[None],
-                 jnp.zeros((6, c_out_half), jnp.float32)], axis=0)
-            for inv, shift in epilogues])
-    else:
-        epi = jnp.zeros((2, 8, c_out_half), jnp.float32)
-
-    lead = (win - tile) // 2
-    xp = jnp.pad(x, ((0, 0),
-                     (lead, num_tr * tile + lead - h),
-                     (lead, num_tc * tile + lead - w),
-                     (0, 0)))
-    w_strip = num_tc * tile + 2 * lead
-    kernel = functools.partial(
-        _paired_kernel, h=h, w=w, c_half=c_half, c_out_half=c_out_half,
-        win=win, tile=tile, num_tc=num_tc,
-        epilogue=epilogues is not None)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, num_tr),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
-                         lambda bb, ii: (bb, ii, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile, num_tc * tile, 2 * c_out_half),
-            lambda bb, ii: (bb, ii, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, num_tr * tile, num_tc * tile, 2 * c_out_half), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((win, w_strip, c2), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(xp, offm, w_taps, epi)
-    return out[:, :h, :w]
-
-
 def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
                 gw_ref, strip_buf, gstrip_buf, sem, *,
                 h: int, w: int, c_in: int, c_out: int, win: int, tile: int,

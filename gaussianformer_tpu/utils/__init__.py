@@ -29,14 +29,11 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
 
     margin = dcn_margin(win, tile)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    # pair_towers=False: the paired trunk is a pure function that cannot
-    # sow the per-block dcn_offset_max intermediates this check reads
     _, inter = model.apply(
         variables, batch["imgs"], batch["projection_mat"],
         batch["image_wh"], occ_xyz=batch["occ_xyz"],
         occ_label=batch["occ_label"], occ_cam_mask=batch["occ_cam_mask"],
-        training=False, rng=rng, mutable=["intermediates"],
-        pair_towers=False)
+        training=False, rng=rng, mutable=["intermediates"])
 
     per_block = {}
 
