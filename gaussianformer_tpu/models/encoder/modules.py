@@ -280,6 +280,10 @@ class DeformableFeatureAggregation(nn.Module):
     use_camera_embed: bool = True
     residual_mode: str = "add"
     backend: str = "xla"
+    spill_budget: int = 8192    # fused backend: max window-spilled
+                                # pairs recomputed exactly; beyond this
+                                # they are dropped (count is sown as
+                                # "deformable_spill_count")
     interpret: bool = False     # run the fused Pallas kernel in
                                 # interpreter mode (CPU tests)
     # key-points generator config
@@ -389,9 +393,17 @@ class DeformableFeatureAggregation(nn.Module):
                                    jnp.maximum(s, 1e-30))[:, None]
             from ...ops.deformable import deformable_aggregation_fused_cm
             # key-point reduction is fused into the kernel → [b, p, C]
-            features = deformable_aggregation_fused_cm(
+            features, n_spill = deformable_aggregation_fused_cm(
                 feature_maps, (u_pk, v_pk), w_soft, self.num_groups,
-                num_pts, interpret=self.interpret)
+                num_pts, spill_budget=self.spill_budget,
+                return_spill_count=True, interpret=self.interpret)
+            # pairs beyond spill_budget are silently dropped by the
+            # cleanup gather — surface the per-call count so
+            # utils.check_deformable_spill / trace_forward can make an
+            # over-budget checkpoint loud (same failure class as the
+            # DCN offset margin). DCE'd when intermediates aren't
+            # collected.
+            self.sow("intermediates", "deformable_spill_count", n_spill)
             output = nn.Dense(self.embed_dims, name="output_proj")(
                 features)
             output = nn.Dropout(self.proj_drop,

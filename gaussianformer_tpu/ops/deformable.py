@@ -292,6 +292,7 @@ def prepack_feature_maps_cm(feature_maps):
 def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
                                     num_groups: int, num_pts: int, *,
                                     spill_budget: int = 8192,
+                                    return_spill_count: bool = False,
                                     interpret: bool = False):
     """Camera-major fused deformable aggregation.
 
@@ -330,13 +331,19 @@ def deformable_aggregation_fused_cm(feature_maps, points_cm, weights_cm,
     assert weights_cm.shape[-1] == num_pts * lg, weights_cm.shape
 
     outs = []
+    spills = []
     for bi in range(b):
         feats = tuple(f[bi] for f in padded)
-        outs.append(_fused_single(
+        out_b, n_spill = _fused_single(
             feats, (u_all[bi], v_all[bi]), weights_cm[bi], shapes, wx,
             num_pts, a_chunk, p, cams, c_dim, spill_budget,
-            deformable_fused_fwd, deformable_fused_bwd, interpret))
-    return jnp.stack(outs)
+            deformable_fused_fwd, deformable_fused_bwd, interpret)
+        outs.append(out_b)
+        spills.append(n_spill)
+    out = jnp.stack(outs)
+    if return_spill_count:
+        return out, jnp.stack(spills)
+    return out
 
 
 def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
@@ -464,7 +471,11 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     out = out + _spill_cleanup(
         feats, packed_s, spill, pair_perm, shapes, num_pts, p,
         c_dim, cams, qp, spill_budget)
-    return out
+    # spill accounting: pairs beyond spill_budget are DROPPED (silent
+    # attention-mass loss); callers sow/check this count against the
+    # budget (same failure class as the DCN offset margin)
+    n_spill = spill.sum(dtype=jnp.int32)
+    return out, n_spill
 
 
 def _spill_cleanup(feats, packed_s, spill, pair_perm, shapes,

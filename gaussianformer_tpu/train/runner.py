@@ -220,13 +220,17 @@ class Trainer:
         if check_margin and (backbone_path or lifter_init_path):
             loader = self.train_loader or self.val_loader
             if loader is not None:
-                self.verify_dcn_margin(next(iter(loader)))
+                batch = next(iter(loader))
+                self.verify_dcn_margin(batch)
+                self.verify_deformable_spill(batch)
             else:
                 logger.warning(
                     "load_torch_pretrained: no loader available to "
-                    "verify the DCN offset margin — run "
-                    "Trainer.verify_dcn_margin(batch) before training "
-                    "(out-of-margin offsets silently drop samples).")
+                    "verify the DCN offset margin / deformable spill "
+                    "budget — run Trainer.verify_dcn_margin(batch) and "
+                    "Trainer.verify_deformable_spill(batch) before "
+                    "training (out-of-margin offsets and over-budget "
+                    "spills silently drop samples).")
 
     def verify_dcn_margin(self, batch, *, auto_widen: bool = True):
         """Check the loaded checkpoint's DCN offsets against the Pallas
@@ -281,6 +285,40 @@ class Trainer:
             self.model, {"params": self._state.params,
                          "batch_stats": self._state.batch_stats},
             batch, win=needed)
+
+    def verify_deformable_spill(self, batch, *, strict: bool = True):
+        """Check the deformable kernel's window-spill count against its
+        exact-cleanup budget (utils.check_deformable_spill).
+
+        Pairs beyond the budget are silently dropped in the fused
+        backend; a checkpoint whose projected keypoints spill more than
+        budget loses attention mass with no error. Raises when over
+        budget (``strict=True``; warns otherwise) naming the
+        ``spill_budget`` knob (encoder deformable_cfg)."""
+        from ..utils import check_deformable_spill
+        enc_cfg = dict(self.model.encoder_cfg or {})
+        budget = dict(enc_cfg.get("deformable_cfg") or {}).get(
+            "spill_budget", 8192)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        res = check_deformable_spill(
+            self.model, {"params": self._state.params,
+                         "batch_stats": self._state.batch_stats},
+            batch, budget=budget)
+        if res["ok"]:
+            logger.info(
+                "deformable spill OK: max %d spilled pairs <= budget %d "
+                "(%.1f%% used)", res["max_spill"], budget,
+                100.0 * res["max_spill"] / max(budget, 1))
+            return res
+        msg = (f"deformable window spill over budget: {res['max_spill']} "
+               f"spilled pairs > spill_budget={budget} — pairs beyond "
+               f"the budget are DROPPED (silent attention-mass loss). "
+               f"Raise encoder deformable_cfg['spill_budget'] (counts "
+               f"per call: {res['per_call']}).")
+        if strict:
+            raise ValueError(msg)
+        logger.error(msg)
+        return res
 
     # ------------------------------------------------------------- resume
     def try_resume(self):

@@ -52,6 +52,47 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
             "per_block": per_block, "ok": max_off <= margin}
 
 
+def check_deformable_spill(model, variables, batch, *,
+                           budget: int = 8192, rng=None):
+    """Run one forward collecting per-deformable-call spill counts and
+    compare against the fused kernel's cleanup budget.
+
+    The fused deformable kernel zero-weights pairs whose bilinear
+    corners escape a chunk's static x-window and recomputes them exactly
+    with a ``spill_budget``-row gather (ops/deformable.py
+    ``_spill_cleanup``); pairs BEYOND the budget are dropped — silent
+    attention-mass loss, the same failure class as the DCN offset
+    margin. Each DeformableFeatureAggregation sows its count as
+    ``deformable_spill_count``. Returns ``{"max_spill", "budget",
+    "per_call", "ok"}``; ``per_call`` is empty when the model runs the
+    XLA backend (which never spills).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    _, inter = model.apply(
+        variables, batch["imgs"], batch["projection_mat"],
+        batch["image_wh"], occ_xyz=batch["occ_xyz"],
+        occ_label=batch["occ_label"], occ_cam_mask=batch["occ_cam_mask"],
+        training=False, rng=rng, mutable=["intermediates"])
+
+    per_call = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if k == "deformable_spill_count":
+                per_call[path] = int(jax.device_get(jnp.max(
+                    jnp.stack(list(v)))))
+            elif isinstance(v, dict):
+                walk(v, f"{path}/{k}" if path else k)
+
+    walk(inter.get("intermediates", {}), "")
+    max_spill = max(per_call.values(), default=0)
+    return {"max_spill": max_spill, "budget": budget,
+            "per_call": per_call, "ok": max_spill <= budget}
+
+
 def suggest_dcn_win(max_offset: float, *, tile: int = 8) -> int:
     """Smallest window (multiple of 8) whose margin covers
     ``max_offset``: margin = (win - 2*tile)/2 >= max_offset."""

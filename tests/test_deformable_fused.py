@@ -224,3 +224,85 @@ def test_module_fused_branch_matches_generic():
     # kernel samples in bf16 (same tolerance as the op-level tests)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_spill_count_matches_host_stats():
+    """return_spill_count must equal the numpy diagnostic's count (the
+    device spill mask and deformable_fused_spill_stats mirror the same
+    window math)."""
+    from gaussianformer_tpu.ops.deformable import (
+        deformable_aggregation_fused_cm)
+
+    feats, loc, w = _make_inputs(seed=3, wild=True)
+    stats = deformable_fused_spill_stats(np.asarray(loc), NUM_PTS, SHAPES)
+    assert stats["spilled_pairs"] > 0
+
+    pts_cm = jnp.moveaxis(loc, 2, 1)
+    w_cm = jnp.moveaxis(w.reshape(B, Q, CAMS, -1), 2, 1)
+    _, n_spill = deformable_aggregation_fused_cm(
+        feats,
+        (pts_cm[..., 0].reshape(B, CAMS, P, NUM_PTS),
+         pts_cm[..., 1].reshape(B, CAMS, P, NUM_PTS)),
+        w_cm.reshape(B, CAMS, P, NUM_PTS * w_cm.shape[-1]),
+        G, NUM_PTS, return_spill_count=True, interpret=True)
+    assert n_spill.shape == (B,)
+    assert int(np.asarray(n_spill).sum()) == stats["spilled_pairs"]
+
+
+def test_module_sows_spill_count():
+    """DeformableFeatureAggregation (fused) sows deformable_spill_count
+    so checkpoints whose keypoints spill past the cleanup budget can be
+    made loud (utils.check_deformable_spill / Trainer)."""
+    from gaussianformer_tpu.models.encoder.modules import (
+        DeformableFeatureAggregation)
+
+    rng = np.random.RandomState(5)
+    b, p, cams, C = 1, 24, 2, 32
+    shapes = ((12, 48), (6, 24), (3, 12), (2, 6))
+    feats = [jnp.asarray(rng.randn(b, cams, h, w, C), jnp.float32)
+             for (h, w) in shapes]
+    inst = jnp.asarray(rng.randn(b, p, C), jnp.float32)
+    anchor = jnp.asarray(rng.randn(b, p, 11 + 4) * 1.2, jnp.float32)
+    embed = jnp.asarray(rng.randn(b, p, C), jnp.float32)
+    proj = jnp.asarray(
+        rng.randn(b, cams, 4, 4) * np.asarray(
+            [20.0, 20.0, 1.0, 5.0])[None, None, :, None], jnp.float32)
+    wh = jnp.asarray(np.tile([48.0, 12.0], (b, cams, 1)), jnp.float32)
+
+    mod = DeformableFeatureAggregation(
+        backend="fused", interpret=True, embed_dims=C, num_cams=cams,
+        num_levels=4, num_groups=4, num_learnable_pts=2,
+        fix_scale=((0., 0., 0.), (0.5, 0., 0.)))
+    params = mod.init(jax.random.PRNGKey(0), inst, anchor, embed,
+                      feats, proj, wh)
+    _, inter = mod.apply(params, inst, anchor, embed, feats, proj, wh,
+                         mutable=["intermediates"])
+    counts = inter["intermediates"]["deformable_spill_count"]
+    n = np.asarray(jnp.stack(list(counts)))
+    assert n.shape[-1] == b and (n >= 0).all()
+
+
+def test_check_deformable_spill_flags_over_budget():
+    """utils.check_deformable_spill: ok iff max sown count <= budget
+    (over-budget spills are dropped attention mass and must be loud)."""
+    import flax.linen as nn
+    from gaussianformer_tpu.utils import check_deformable_spill
+
+    class FakeSeg(nn.Module):
+        count: int
+
+        @nn.compact
+        def __call__(self, imgs, projection_mat, image_wh, *, occ_xyz,
+                     occ_label, occ_cam_mask, training, rng):
+            self.sow("intermediates", "deformable_spill_count",
+                     jnp.asarray([self.count], jnp.int32))
+            return {"final_occ": jnp.zeros((1, 4))}
+
+    batch = {k: jnp.zeros((1, 2)) for k in
+             ("imgs", "projection_mat", "image_wh", "occ_xyz",
+              "occ_label", "occ_cam_mask")}
+    model = FakeSeg(count=100)
+    res = check_deformable_spill(model, {}, batch, budget=128)
+    assert res["ok"] and res["max_spill"] == 100
+    res = check_deformable_spill(model, {}, batch, budget=64)
+    assert not res["ok"]

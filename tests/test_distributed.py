@@ -65,6 +65,7 @@ print(json.dumps({"proc": proc_id, "idxs": idxs, "miou": m, "occ": occ,
 """
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(240)
 def test_two_process_dp_smoke(tmp_path):
     with socket.socket() as s:
@@ -219,6 +220,7 @@ _dist.global_state.client.wait_at_barrier("done", 1_000_000)
 """
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(1200)
 def test_two_process_trainer_feed(tmp_path):
     """Two Trainer-style DP steps across 2 processes (host-local batches

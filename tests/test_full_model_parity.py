@@ -14,6 +14,7 @@ Deterministic domain: top-1 depth sampling, rays kept inside pc_range,
 the no-occupancy bin disabled via a large negative projection bias.
 """
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -93,6 +94,7 @@ def _lifter_oracle(secondfpn, proj_w, proj_b, proj):
     return np.log(unit / (1 - unit)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_full_model_converted_parity():
     torch.manual_seed(0)
     rs = np.random.RandomState(4)
