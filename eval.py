@@ -63,6 +63,16 @@ def main():
         trainer._state = trainer._state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"])
 
+    # size the Pallas DCN window to THIS checkpoint before the val loop:
+    # out-of-margin offsets silently drop samples (auto-widen), and the
+    # kernel costs ~3x less VPU/MXU work at the narrowest window the
+    # offsets permit (auto-narrow; value-exact — eval has no offset
+    # gradients). Same failure class gate for the deformable spill
+    # budget.
+    batch0 = next(iter(val_loader))
+    trainer.verify_dcn_margin(batch0, allow_narrow=True)
+    trainer.verify_deformable_spill(batch0)
+
     miou, occ_iou = trainer.evaluate()
     print(f"mIoU: {miou:.2f}%  occupancy IoU: {occ_iou:.2f}%")
 

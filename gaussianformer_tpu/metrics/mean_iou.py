@@ -71,12 +71,24 @@ class MeanIoU:
     def reset(self):
         self.counts = np.zeros((len(self.class_indices) + 1, 3), np.int64)
 
-    def update(self, outputs, targets, mask=None):
+    def counts_for(self, outputs, targets, mask=None):
+        """Dispatch the per-step counter math and return the (device)
+        result WITHOUT synchronizing — lets an eval loop queue the
+        counter update behind the forward and defer the host transfer
+        one step (Trainer.evaluate overlap), mirroring the reference's
+        CUDA-async metric update (eval.py:146-163)."""
         if mask is None or not self.use_mask:
             mask = jnp.ones(np.shape(outputs), bool)
-        c = iou_counts(jnp.ravel(outputs), jnp.ravel(targets),
-                       jnp.ravel(mask), self.class_indices, self.empty_label)
+        return iou_counts(jnp.ravel(outputs), jnp.ravel(targets),
+                          jnp.ravel(mask), self.class_indices,
+                          self.empty_label)
+
+    def add_counts(self, c):
+        """Accumulate a :meth:`counts_for` result (synchronizes)."""
         self.counts += np.asarray(c)
+
+    def update(self, outputs, targets, mask=None):
+        self.add_counts(self.counts_for(outputs, targets, mask))
 
     def result(self, distributed: bool = False):
         """distributed=True sums counters across processes first

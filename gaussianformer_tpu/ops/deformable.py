@@ -21,10 +21,12 @@ Conventions copied from the reference kernel:
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def bilinear_sample_nchw(feat, loc):
@@ -373,21 +375,32 @@ def _fused_single(feats, points_cm, weights_cm, shapes, wx, num_pts,
     # row-descriptor-bound, so gathering [cams, p_pad] rows of
     # num_pts*20 floats costs ~num_pts times less than the same bytes
     # as pair rows (measured 2.9 -> 0.7 ms per call at flagship size).
-    # The [cams, P, 224] table is assembled by ONE lane-interleave
-    # concat of static slices of the pair-row inputs — everything stays
-    # anchor-major with full lanes, so no tensor in the chain ever needs
-    # a tiled relayout (the old [.., K, L, G]-minor build cost ~1.9 ms
-    # of transpose + retile copies per call at flagship size). Pair k
-    # occupies lanes [32k, 32k+32): u, v, inside, 0, 16 weights, 12 pad
-    # — the gathered table doubles as the kernel's pairdat block.
+    # Pair k occupies lanes [32k, 32k+32): u, v, inside, 0, 16 weights,
+    # 12 pad — the gathered table doubles as the kernel's pairdat block.
+    # The lane interleave is FOUR one-hot MXU matmuls (inputs stay
+    # lane-major [.., P, K]/[.., P, 16K]; output lanes land directly in
+    # (k, slot) order) instead of a 6*num_pts-slice concat — the concat
+    # relayout-copied every slice (~5.4 ms/frame traced at flagship
+    # size, docs/PERF.md round-4 notes); the matmuls are a few GFLOP.
+    # HIGHEST precision: the pack must be an EXACT copy — u/v feed
+    # f32 floor/frac chains and the kernel-side spill gate.
     ins_f = inside.astype(u.dtype)
-    zero1 = jnp.zeros((cams, p, 1), u.dtype)
-    zero12 = jnp.zeros((cams, p, 12), u.dtype)
-    parts = []
-    for k in range(num_pts):
-        parts += [u[..., k:k + 1], v[..., k:k + 1], ins_f[..., k:k + 1],
-                  zero1, weights_cm[..., 16 * k:16 * (k + 1)], zero12]
-    packed = jnp.concatenate(parts, axis=-1)      # [cams, P, 32*K]
+
+    def _lane_oh(src_lanes, dst_of):
+        m = np.zeros((src_lanes, 32 * num_pts), np.float32)
+        for s_ in range(src_lanes):
+            m[s_, dst_of(s_)] = 1.0
+        return jnp.asarray(m)
+
+    oh_u = _lane_oh(num_pts, lambda k: 32 * k)
+    oh_v = _lane_oh(num_pts, lambda k: 32 * k + 1)
+    oh_i = _lane_oh(num_pts, lambda k: 32 * k + 2)
+    oh_w = _lane_oh(16 * num_pts, lambda j: 32 * (j // 16) + 4 + j % 16)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    packed = (dot(u, oh_u) + dot(v, oh_v) + dot(ins_f, oh_i)
+              + dot(weights_cm, oh_w))            # [cams, P, 32*K]
     packed = jnp.pad(packed, ((0, 0), (0, p_pad - p), (0, 0)))
     # materialize before gathering: without the barrier XLA fuses the
     # interleave chain above INTO the gather's fused computation and

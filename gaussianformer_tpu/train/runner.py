@@ -232,7 +232,8 @@ class Trainer:
                     "training (out-of-margin offsets and over-budget "
                     "spills silently drop samples).")
 
-    def verify_dcn_margin(self, batch, *, auto_widen: bool = True):
+    def verify_dcn_margin(self, batch, *, auto_widen: bool = True,
+                          allow_narrow: bool = False):
         """Check the loaded checkpoint's DCN offsets against the Pallas
         kernel's representable window (utils.check_dcn_offset_margin).
 
@@ -241,10 +242,16 @@ class Trainer:
         their static tap. On failure this either rebuilds the model with
         the next sufficient window (``auto_widen=True``, steps re-jitted;
         parameters are unaffected — the window is a static kernel shape)
-        or raises naming the ``cfg.dcn_win`` knob."""
+        or raises naming the ``cfg.dcn_win`` knob.
+
+        ``allow_narrow=True`` (inference only): when the measured offsets
+        permit a SMALLER window than configured, rebuild with it — the
+        kernel's sampling matmul and M-build shrink ~(win-8)*win-fold.
+        Value-exact; never use for training (offset gradients need
+        corners one pixel past the value margin)."""
         import dataclasses
 
-        from ..utils import check_dcn_offset_margin
+        from ..utils import check_dcn_offset_margin, suggest_dcn_win
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         res = check_dcn_offset_margin(
             self.model, {"params": self._state.params,
@@ -254,8 +261,15 @@ class Trainer:
             logger.info("DCN offset margin OK: max |offset| %.2f px <= "
                         "margin %.2f px (dcn_win=%d)", res["max_offset"],
                         res["margin"], self.cfg.dcn_win)
+            narrower = suggest_dcn_win(res["max_offset"])
+            if allow_narrow and narrower < self.cfg.dcn_win:
+                logger.info(
+                    "narrowing dcn_win %d -> %d for inference (max "
+                    "|offset| %.2f px; value-exact)", self.cfg.dcn_win,
+                    narrower, res["max_offset"])
+                self._rebuild_with_dcn_win(narrower)
+                res = dict(res, dcn_win=narrower)
             return res
-        from ..utils import suggest_dcn_win
         needed = suggest_dcn_win(res["max_offset"])
         if not auto_widen:
             raise ValueError(
@@ -270,21 +284,26 @@ class Trainer:
             "%.2f px (dcn_win=%d). Rebuilding the model with dcn_win=%d "
             "— parameters unchanged, steps re-jitted.", res["max_offset"],
             res["margin"], self.cfg.dcn_win, needed)
-        self.cfg = dataclasses.replace(self.cfg, dcn_win=needed)
-        # clone (not rebuild from cfg) so live module overrides survive;
-        # the window is a static kernel shape, not a parameter
-        backbone_cfg = dict(self.model.backbone_cfg or {})
-        backbone_cfg["dcn_win"] = needed
-        lifter_cfg = dict(self.model.lifter_cfg or {})
-        if self.model.lifter_type == "v2":
-            lifter_cfg["dcn_win"] = needed
-        self.model = self.model.clone(backbone_cfg=backbone_cfg,
-                                      lifter_cfg=lifter_cfg)
-        self._make_steps()
+        self._rebuild_with_dcn_win(needed)
         return check_dcn_offset_margin(
             self.model, {"params": self._state.params,
                          "batch_stats": self._state.batch_stats},
             batch, win=needed)
+
+    def _rebuild_with_dcn_win(self, win: int):
+        """Clone the live model (not rebuild from cfg, so module
+        overrides survive) with a different Pallas DCN window; the
+        window is a static kernel shape, not a parameter."""
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, dcn_win=win)
+        backbone_cfg = dict(self.model.backbone_cfg or {})
+        backbone_cfg["dcn_win"] = win
+        lifter_cfg = dict(self.model.lifter_cfg or {})
+        if self.model.lifter_type == "v2":
+            lifter_cfg["dcn_win"] = win
+        self.model = self.model.clone(backbone_cfg=backbone_cfg,
+                                      lifter_cfg=lifter_cfg)
+        self._make_steps()
 
     def verify_deformable_spill(self, batch, *, strict: bool = True):
         """Check the deformable kernel's window-spill count against its
@@ -412,16 +431,37 @@ class Trainer:
 
     # --------------------------------------------------------------- eval
     def evaluate(self):
+        """Validation loop with one-step host/device overlap: while the
+        device runs batch n's forward + counter math, the host fetches
+        and converts batch n+1 (the loader's prefetch threads fill
+        further ahead) and synchronizes only batch n-1's tiny counter
+        arrays — nothing full-sized crosses the wire on the critical
+        path (reference analog: DataLoader workers + CUDA async,
+        eval.py:138-167)."""
         miou = MeanIoU()
-        for batch in self.val_loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        pending = None          # batch n-1 counters, still on device
+        it = iter(self.val_loader)
+        nxt = next(it, None)
+        while nxt is not None:
+            batch = {k: jnp.asarray(v) for k, v in nxt.items()}
             self.rng, step_rng = jax.random.split(self.rng)
             with self._mesh_ctx():
                 out = self._eval_step(self._state.params,
                                   self._state.batch_stats, batch, step_rng)
-            for b in range(out["final_occ"].shape[0]):
-                miou.update(out["final_occ"][b], out["sampled_label"][b],
-                            out["occ_mask"][b])
+                # queue the counter math behind the forward (device-side,
+                # no sync)
+                counts = [miou.counts_for(out["final_occ"][b],
+                                          out["sampled_label"][b],
+                                          out["occ_mask"][b])
+                          for b in range(out["final_occ"].shape[0])]
+            nxt = next(it, None)            # overlap: load batch n+1
+            if pending is not None:
+                for c in pending:           # sync point: batch n-1 only
+                    miou.add_counts(c)
+            pending = counts
+        if pending is not None:
+            for c in pending:
+                miou.add_counts(c)
         # cross-process counter reduction (reference metric_util.py:69-73)
         m, occ_iou, per_class = miou.result(
             distributed=jax.process_count() > 1)

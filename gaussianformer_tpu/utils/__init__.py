@@ -52,6 +52,45 @@ def check_dcn_offset_margin(model, variables, batch, *, win: int = 24,
             "per_block": per_block, "ok": max_off <= margin}
 
 
+def all_dcn_offsets_zero(params) -> bool:
+    """True iff every DCN ``conv_offset`` kernel/bias in the param tree
+    is exactly zero — the init state (the reference zero-inits
+    conv_offset, mmcv ModulatedDeformConv2dPack.init_weights; our
+    ResNet mirrors that). Then max |offset| = 0 px and the narrowest
+    Pallas window (``dcn_win=16``, margin 0) samples every corner
+    exactly on the VALUE path — an inference-only narrowing: offset
+    GRADIENTS need corners one pixel past the value margin, so training
+    keeps the configured window (Trainer auto-widen).
+
+    Host-side and O(params): cheaper than the forward-pass margin check
+    when deciding the window for freshly initialized weights (bench /
+    from-scratch eval); converted checkpoints have nonzero offsets and
+    fall through to :func:`check_dcn_offset_margin`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    found = []
+
+    def walk(tree):
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                continue
+            if k == "conv_offset":
+                found.extend(jax.tree_util.tree_leaves(v))
+            else:
+                walk(v)
+
+    walk(params)
+    if not found:
+        return False
+    # one fused device computation + one transfer (a per-leaf get costs
+    # one tunnel round-trip each on remote platforms)
+    any_nonzero = jnp.any(jnp.stack([jnp.any(leaf != 0)
+                                     for leaf in found]))
+    return not bool(jax.device_get(any_nonzero))
+
+
 def check_deformable_spill(model, variables, batch, *,
                            budget: int = 8192, rng=None):
     """Run one forward collecting per-deformable-call spill counts and

@@ -365,3 +365,39 @@ def test_dcn_pallas_epilogue_matches_separate_bn_relu():
                                    epilogue=(inv, shift))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_dcn_win16_zero_offsets_exact():
+    """dcn_win=16 (margin 0) samples the VALUE path exactly at the init
+    condition (conv_offset == 0, reference zero-init) — the basis of the
+    inference-only auto-narrow (utils.all_dcn_offsets_zero,
+    Trainer.verify_dcn_margin(allow_narrow=True))."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussianformer_tpu.ops.dcn import deform_conv2d
+    from gaussianformer_tpu.ops.pallas.dcn_kernel import (
+        deform_conv2d_pallas_fwd)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 24, 40, 16), jnp.float32)
+    wgt = jnp.asarray(rs.randn(3, 3, 16, 24) * 0.1, jnp.float32)
+    off = jnp.zeros((1, 24, 40, 18), jnp.float32)
+    mask = jnp.full((1, 24, 40, 9), 0.5, jnp.float32)
+    ref = deform_conv2d(x, off, mask, wgt)
+    out = deform_conv2d_pallas_fwd(x, off, mask, wgt, win=16,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_all_dcn_offsets_zero():
+    import jax.numpy as jnp
+    from gaussianformer_tpu.utils import all_dcn_offsets_zero
+
+    params = {"img_backbone": {"stage3": {"layer_0": {"conv_offset": {
+        "kernel": jnp.zeros((3, 3, 8, 27)), "bias": jnp.zeros((27,))}}}}}
+    assert all_dcn_offsets_zero(params)
+    params["img_backbone"]["stage3"]["layer_0"]["conv_offset"]["bias"] = \
+        jnp.full((27,), 0.25)
+    assert not all_dcn_offsets_zero(params)
+    assert not all_dcn_offsets_zero({"no": {"dcn": {}}})

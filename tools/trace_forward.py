@@ -21,7 +21,8 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from __graft_entry__ import _flagship_model_and_batch
+    from __graft_entry__ import (_flagship_model_and_batch,
+                                 narrow_dcn_win_for_inference)
 
     model, batch, cfg = _flagship_model_and_batch(small=False)
     rng = jax.random.PRNGKey(0)
@@ -30,6 +31,8 @@ def main():
         batch["imgs"], batch["projection_mat"], batch["image_wh"],
         occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
         occ_cam_mask=batch["occ_cam_mask"], training=False, rng=rng)
+    model, dcn_win = narrow_dcn_win_for_inference(model, cfg, variables)
+    print(f"# dcn_win={dcn_win}", flush=True)
 
     @jax.jit
     def forward(variables, key):
