@@ -19,6 +19,12 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--pipeline", type=int, default=0, metavar="K",
+                    help="ALSO measure K forwards chained on-device in "
+                    "one dispatch (lax.scan) — the serving-pipeline "
+                    "reading with zero per-frame host involvement. "
+                    "Off by default: compiling the scanned graph "
+                    "roughly doubles bench compile time.")
     ns = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -76,6 +82,44 @@ def main():
         out = forward(*args, keys[i])
     jax.device_get(out[:, :8])
     dt = (time.perf_counter() - t0) / iters
+
+    if ns.pipeline:
+        # K frames chained on-device in one dispatch: the per-frame cost
+        # with the host/tunnel dispatch gap fully amortized (a serving
+        # pipeline's sustained reading). Reported as a comment line; the
+        # official metric stays the dispatch-per-frame loop above.
+        k = ns.pipeline
+        import jax.numpy as jnp
+
+        @jax.jit
+        def forward_k(variables, imgs_k, projection_mat, image_wh,
+                      occ_xyz, occ_label, occ_cam_mask, keys):
+            # per-frame images: scanning over identical inputs would let
+            # XLA hoist every key-independent op (the whole tower stack)
+            # out of the loop and report a fantasy number — measured
+            # 98 ms/frame vs a 192 ms device floor before this fix
+            def step(_, xs):
+                key, imgs = xs
+                out = model.apply(
+                    variables, imgs, projection_mat, image_wh,
+                    occ_xyz=occ_xyz, occ_label=occ_label,
+                    occ_cam_mask=occ_cam_mask, training=False, rng=key)
+                return None, out["final_occ"][:, :8]
+            import jax.lax as lax
+            _, outs = lax.scan(step, None, xs=(keys, imgs_k))
+            return outs
+
+        kkeys = jax.random.split(jax.random.PRNGKey(7), k)
+        imgs_k = (batch["imgs"][None]
+                  + jnp.arange(k, dtype=jnp.float32)[
+                      :, None, None, None, None, None] * 1e-3)
+        pargs = (variables, imgs_k, *args[2:])
+        jax.device_get(forward_k(*pargs, kkeys))   # compile+warm
+        t0 = time.perf_counter()
+        jax.device_get(forward_k(*pargs, kkeys))
+        dt_p = (time.perf_counter() - t0) / k
+        print(f"# pipeline({k}): {dt_p*1e3:.1f} ms/frame = "
+              f"{ns.batch/dt_p:.3f} frames/s", flush=True)
 
     fps = ns.batch / dt
     metric = ("prob_gs6400_infer_fps_per_chip" if ns.batch == 1 else

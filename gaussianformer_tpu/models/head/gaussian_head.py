@@ -184,17 +184,23 @@ class GaussianHead(nn.Module):
                 check_vma=False)
         else:
             # at inference the splat leaves its outputs in kernel
-            # (patch-tile / z-major) row order: the logits combine and
-            # argmax below are elementwise across rows, so only the
-            # final int labels pay the voxel-order relayout (the float
-            # unpatches feed the output dict and are dead-code
-            # eliminated when the caller fetches final_occ only)
+            # (patch-tile / z-major) row order AND computes final-occ
+            # labels in its in-VMEM epilogue (the exact normalize /
+            # combine-or-threshold / argmax math below): the float
+            # unpatches and the [N, C] label chain feed the output dict
+            # only, so they die to DCE when the caller fetches final_occ
+            # — ~4.6 ms/frame of full-grid fusions at flagship size
             defer = not training
+            emit = dict(
+                mode="combine" if self.combine_geosem else "threshold",
+                thresh=self.sigmoid_thresh,
+                empty_label=self.empty_label)
 
             def splat_call(pts, m_, o_, s_, sc_, ci_):
                 if defer:
                     return splat_deferred(pts, m_, o_, s_, sc_, ci_,
-                                          self.grid, **splat_kw)
+                                          self.grid, emit_labels=emit,
+                                          **splat_kw)
                 return splat(pts, m_, o_, s_, sc_, ci_, self.grid,
                              **splat_kw), (lambda a: a)
 
@@ -205,7 +211,7 @@ class GaussianHead(nn.Module):
                 return _inner(pts, m_, o_, s_, sc_, ci_), (lambda a: a)
 
         prediction, bin_logits, density = [], [], []
-        logits_k = bins_k = None
+        logits_k = bins_k = labels_k = None
         unpatch = lambda a: a  # noqa: E731
         for idx in apply_loss_layers:
             gaussians = representation[idx]
@@ -216,7 +222,10 @@ class GaussianHead(nn.Module):
                                        scales, cov_inv6)
 
             if self.use_localaggprob:
-                logits, bins, dens = outs
+                if len(outs) == 4:          # kernel label epilogue
+                    logits, bins, dens, labels_k = outs
+                else:
+                    logits, bins, dens = outs
                 if self.combine_geosem:
                     sem_part = logits[..., :-1] * bins[..., None]
                     geo_part = 1.0 - bins[..., None]
@@ -226,10 +235,15 @@ class GaussianHead(nn.Module):
                 bin_logits.append(unpatch(bins))
                 density.append(unpatch(dens))
             else:
-                logits_k = outs[0]
-                prediction.append(unpatch(outs[0]))
+                if len(outs) == 2:          # kernel label epilogue
+                    logits_k, labels_k = outs
+                else:
+                    logits_k = outs[0]
+                prediction.append(unpatch(logits_k))
 
-        if self.use_localaggprob and not self.combine_geosem:
+        if labels_k is not None:
+            final_occ = unpatch(labels_k)
+        elif self.use_localaggprob and not self.combine_geosem:
             final_sem = jnp.argmax(logits_k, axis=-1)
             occupied = bins_k > self.sigmoid_thresh
             final_occ = unpatch(

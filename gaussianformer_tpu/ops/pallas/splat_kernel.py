@@ -39,8 +39,9 @@ def _kernel(tc_ref,                             # [1, 1, 1+nc] SMEM block:
                                                 # with the COVERS bit in
                                                 # bit 30 (host-computed)
             pts_ref, pts_int_ref, gdata_ref, box_ref, sem_aug_ref,
-            acc_ref, om_ref, *, num_chunks: int, chunk_g: int,
-            needs_om: bool, prune: bool = True, zrun: int = 0):
+            acc_ref, om_ref, *ref_tail, num_chunks: int, chunk_g: int,
+            needs_om: bool, prune: bool = True, zrun: int = 0,
+            emit_labels=None):
     """zrun > 0 enables the INCREMENTAL-Z fast path: the tile's points
     are zrun-long z-columns of a regular voxel grid, laid out z-major
     (rows z * cols + col — the wrapper permutes), so the exponent is a
@@ -166,6 +167,43 @@ def _kernel(tc_ref,                             # [1, 1, 1+nc] SMEM block:
     acc, om_log = jax.lax.fori_loop(0, n_iter, body, (acc0, om0))
     acc_ref[:] = acc
     om_ref[:] = jnp.exp(om_log)
+    if emit_labels is not None:
+        # final-occ label epilogue (inference): the identical math the
+        # head would run in XLA over the full [N, C] logits — GMM
+        # normalization w/ uniform fallback (_postprocess_prob), the
+        # combine_geosem or bin-threshold composition (reference
+        # gaussian_head.py:165-183), and a first-index lane argmax —
+        # runs here per tile while acc is still in VMEM, so the
+        # downstream chain (~4.6 ms/frame of [640k, 18] fusions at
+        # flagship size) dies to DCE when only final_occ is fetched.
+        labels_ref = ref_tail[0]
+        mode = emit_labels["mode"]
+        c = emit_labels["c"]
+        if mode == "additive":
+            comb = acc[:, :c]
+        else:
+            prob_sum = acc[:, c:c + 1]
+            covered = prob_sum > 1e-9
+            denom = jnp.where(covered, prob_sum, 1.0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            uniform = jnp.where(lane == c - 1, 0.0, 1.0 / (c - 1))
+            logits = jnp.where(covered, acc[:, :c] / denom, uniform)
+            bins = 1.0 - jnp.exp(om_log)                 # [tile_n, 1]
+            if mode == "combine":
+                # argmax([sem*bins, 1-bins]) — scale-invariant per row,
+                # identical to the head's concat form
+                comb = jnp.where(lane == c - 1, 1.0 - bins,
+                                 logits * bins)
+            else:                                        # "threshold"
+                comb = logits
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, comb.shape, 1)
+        m = jnp.max(comb, axis=1, keepdims=True)
+        label = jnp.min(jnp.where(comb == m, lane_c, jnp.int32(2 ** 30)),
+                        axis=1, keepdims=True)           # first max
+        if mode == "threshold":
+            label = jnp.where(bins > emit_labels["thresh"], label,
+                              jnp.int32(emit_labels["empty_label"]))
+        labels_ref[:] = label
 
 
 def _pad_rows(x, rows, value=0.0):
@@ -211,7 +249,8 @@ def unpermute_zrun(a, zrun: int, tile_n: int):
 def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
                      chunk_g: int = 512, needs_om: bool = True,
                      interpret: bool = False, prune: bool = True,
-                     zrun: int = 0, defer_zrun: bool = False):
+                     zrun: int = 0, defer_zrun: bool = False,
+                     emit_labels=None):
     """Raw splat accumulators for one batch element.
 
     pts:     [N, 4]   float32 query points (xyz, pad).
@@ -334,8 +373,23 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
     c_aug = sem_aug.shape[1]
     kernel = functools.partial(_kernel, num_chunks=num_chunks,
                                chunk_g=chunk_g, needs_om=needs_om,
-                               prune=prune, zrun=zrun)
-    acc, om = pl.pallas_call(
+                               prune=prune, zrun=zrun,
+                               emit_labels=emit_labels)
+    out_specs = [
+        pl.BlockSpec((tile_n, c_aug), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, c_aug), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+    ]
+    if emit_labels is not None:
+        out_specs.append(pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, 1), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
@@ -349,16 +403,8 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # box_t (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sem_aug (full)
         ],
-        out_specs=[
-            pl.BlockSpec((tile_n, c_aug), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, c_aug), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # the resident gaussian tables exceed the 16.5 MB default scoped
         # budget at gs144000 scale (_check_vmem_budget guards the true
         # ceiling)
@@ -367,10 +413,18 @@ def splat_raw_pallas(pts, pts_int, gdata, box, sem_aug, *, tile_n: int = 512,
             + 16 * 1024 * 1024),
         interpret=interpret,
     )(table, pts, pts_int, gdata_t, box_t, sem_pair)
+    acc, om = outs[0], outs[1]
+    labels = outs[2] if emit_labels is not None else None
     if zrun and defer_zrun:
         assert n == n_pad, (n, n_pad)
+        if labels is not None:
+            return acc, om[:, 0], labels[:, 0]
         return acc, om[:, 0]
     if zrun:
         acc = unpermute_zrun(acc, zrun, tile_n)
         om = unpermute_zrun(om, zrun, tile_n)
+        if labels is not None:
+            labels = unpermute_zrun(labels, zrun, tile_n)
+    if labels is not None:
+        return acc[:n], om[:n, 0], labels[:n, 0]
     return acc[:n], om[:n, 0]

@@ -297,7 +297,8 @@ def splat_deferred(points, means, opacities, semantics, scales, cov_inv6,
                    per_axis_radii: bool = True, tile_n: int = 8192,
                    chunk_g: int = 128, backend: str = "auto",
                    pallas_tile_n: int = 512, pallas_chunk_g: int = 128,
-                   grid_ordered: bool = False, interpret: bool = False):
+                   grid_ordered: bool = False, interpret: bool = False,
+                   emit_labels=None):
     """INFERENCE-ONLY splat returning ``(outs, unpatch)``.
 
     On the eligible Pallas patch-tile path the outputs stay in the
@@ -307,7 +308,15 @@ def splat_deferred(points, means, opacities, semantics, scales, cov_inv6,
     labels pay the [640k, C]-sized relayout (~3 ms/frame on v5e).
     Everywhere else it falls back to :func:`splat` with an identity
     unpatch. Bypasses the custom-VJP wrapper: NOT differentiable on the
-    pallas backend."""
+    pallas backend.
+
+    ``emit_labels``: dict(mode="combine"|"threshold", thresh=...,
+    empty_label=...) — ALSO return final-occ labels ([B, N] int32,
+    kernel order) computed by the kernel's in-VMEM epilogue (the exact
+    head math; the downstream [N, C] normalize/combine/argmax chain
+    then dies to DCE). Appended as the last element of ``outs``; on the
+    XLA fallback the same labels are computed with XLA ops so callers
+    need no backend case split."""
     kw = dict(variant=variant, per_axis_radii=per_axis_radii,
               tile_n=tile_n, chunk_g=chunk_g, backend=backend,
               pallas_tile_n=pallas_tile_n, pallas_chunk_g=pallas_chunk_g,
@@ -319,14 +328,17 @@ def splat_deferred(points, means, opacities, semantics, scales, cov_inv6,
     patch, to_patch, from_patch = _patch_permuters(
         grid, points.shape[0], zrun, pallas_tile_n, points.shape[1])
     if backend != "pallas" or not patch:
-        return (splat(points, means, opacities, semantics, scales,
-                      cov_inv6, grid, **kw), lambda a: a)
+        outs = splat(points, means, opacities, semantics, scales,
+                     cov_inv6, grid, **kw)
+        if emit_labels is not None:
+            outs = outs + (_labels_xla(outs, variant, emit_labels),)
+        return (outs, lambda a: a)
 
     from .pallas.splat_kernel import unpermute_zrun
     outs = _splat_pallas_fwd_only(
         to_patch(points), means, opacities, semantics, scales, cov_inv6,
         grid, variant, per_axis_radii, pallas_tile_n, pallas_chunk_g,
-        interpret, zrun=zrun, defer_zrun=True)
+        interpret, zrun=zrun, defer_zrun=True, emit_labels=emit_labels)
 
     def unpatch(a):
         flat = a.ndim == 2
@@ -627,6 +639,22 @@ def splat_backward(points, means, opacities, semantics, scales, cov_inv6,
 # ---------------------------------------------------------------------------
 # Pallas path: fused forward kernel + hand-derived backward (custom VJP).
 # ---------------------------------------------------------------------------
+def _labels_xla(outs, variant, emit_labels):
+    """XLA twin of the Pallas kernel's label epilogue (exact head math,
+    reference gaussian_head.py:165-183) for the fallback path."""
+    if variant != "prob":
+        return jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
+    logits, bins = outs[0], outs[1]
+    if emit_labels["mode"] == "combine":
+        comb = jnp.concatenate(
+            [logits[..., :-1] * bins[..., None],
+             1.0 - bins[..., None]], axis=-1)
+        return jnp.argmax(comb, axis=-1).astype(jnp.int32)
+    sem = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(bins > emit_labels["thresh"], sem,
+                     jnp.int32(emit_labels["empty_label"]))
+
+
 def _postprocess_prob(acc, one_minus, c: int):
     """(acc [N, C+2], one_minus [N]) → (logits, bin_logits, density)."""
     sem_acc = acc[:, :c]
@@ -693,25 +721,33 @@ def _pack_gaussians(points, means, opacities, semantics, scales, cov_inv6,
 def _splat_pallas_fwd_only(points, means, opacities, semantics, scales,
                            cov_inv6, grid, variant, per_axis_radii, tile_n,
                            chunk_g, interpret, with_aux: bool = False,
-                           zrun: int = 0, defer_zrun: bool = False):
+                           zrun: int = 0, defer_zrun: bool = False,
+                           emit_labels=None):
     from .pallas.splat_kernel import splat_raw_pallas
     c = semantics.shape[-1]
     pts4, pint, gdata, box, sem_aug = _pack_gaussians(
         points, means, opacities, semantics, scales, cov_inv6, grid,
         variant, per_axis_radii)
     needs_om = variant == "prob"
+    if emit_labels is not None:
+        emit_labels = dict(emit_labels, c=c,
+                           mode=(emit_labels["mode"] if variant == "prob"
+                                 else "additive"))
     outs = []
     auxs = []
     for bi in range(points.shape[0]):
-        acc, om = splat_raw_pallas(
+        res = splat_raw_pallas(
             pts4[bi], pint[bi], gdata[bi], box[bi], sem_aug[bi],
             tile_n=tile_n, chunk_g=chunk_g, needs_om=needs_om,
-            interpret=interpret, zrun=zrun, defer_zrun=defer_zrun)
+            interpret=interpret, zrun=zrun, defer_zrun=defer_zrun,
+            emit_labels=emit_labels)
+        acc, om = res[0], res[1]
+        labels = (res[2],) if emit_labels is not None else ()
         if variant == "prob":
-            outs.append(_postprocess_prob(acc, om, c))
+            outs.append(_postprocess_prob(acc, om, c) + labels)
             auxs.append((acc[:, c], om))
         else:
-            outs.append((acc[:, :c],))
+            outs.append((acc[:, :c],) + labels)
     result = tuple(jnp.stack([o[k] for o in outs])
                    for k in range(len(outs[0])))
     if not with_aux:

@@ -235,3 +235,59 @@ def test_pallas_defer_unpatch_matches():
     for a, b in zip(outs2, splat(*args, grid, variant="prob",
                                  backend="xla")):
         np.testing.assert_allclose(np.asarray(ident(a)), np.asarray(b))
+
+
+def test_label_epilogue_matches_head_math():
+    """The kernel's in-VMEM final-occ label epilogue must reproduce the
+    head's XLA chain (normalize w/ uniform fallback -> combine_geosem or
+    bin-threshold -> first-index argmax) exactly, for both prob modes
+    and the additive variant."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussianformer_tpu.ops.splat import (splat, splat_deferred,
+                                              SplatGridSpec)
+
+    rs = np.random.RandomState(11)
+    grid = SplatGridSpec(H=16, W=16, D=8, pc_min=(-8.0, -8.0, -4.0),
+                         grid_size=1.0, scale_multiplier=4.0)
+    B, P, C, N = 1, 64, 6, 16 * 16 * 8
+    xs = (np.arange(16) + 0.5) - 8.0
+    zs = (np.arange(8) + 0.5) - 4.0
+    pts = np.stack(np.meshgrid(xs, xs, zs, indexing="ij"),
+                   axis=-1).reshape(-1, 3)
+    points = jnp.asarray(pts, jnp.float32)[None]
+    means = jnp.asarray(rs.uniform(-7, 7, (B, P, 3)), jnp.float32)
+    opa = jnp.asarray(rs.rand(B, P), jnp.float32)
+    sem = jnp.asarray(rs.rand(B, P, C), jnp.float32)
+    scales = jnp.asarray(rs.uniform(0.3, 1.5, (B, P, 3)), jnp.float32)
+    rot = np.zeros((B, P, 3, 3)) + np.eye(3)
+    s2 = 1.0 / np.asarray(scales) ** 2
+    ci = np.einsum("bpij,bpj,bpkj->bpik", rot, s2, rot)
+    cov_inv6 = jnp.asarray(np.stack(
+        [ci[..., 0, 0], ci[..., 1, 1], ci[..., 2, 2],
+         ci[..., 0, 1], ci[..., 1, 2], ci[..., 0, 2]], -1), jnp.float32)
+
+    kw = dict(grid_ordered=True, interpret=True, pallas_tile_n=128,
+              pallas_chunk_g=32)
+    for variant, mode in (("prob", "combine"), ("prob", "threshold"),
+                          ("additive", "combine")):
+        emit = dict(mode=mode, thresh=0.35, empty_label=C - 1)
+        (outs, unpatch) = splat_deferred(
+            points, means, opa, sem, scales, cov_inv6, grid,
+            variant=variant, backend="pallas", emit_labels=emit, **kw)
+        labels = np.asarray(unpatch(outs[-1]))
+        ref = splat(points, means, opa, sem, scales, cov_inv6, grid,
+                    variant=variant, backend="pallas", **kw)
+        if variant == "prob":
+            logits, bins = np.asarray(ref[0]), np.asarray(ref[1])
+            if mode == "combine":
+                comb = np.concatenate(
+                    [logits[..., :-1] * bins[..., None],
+                     1.0 - bins[..., None]], -1)
+                want = comb.argmax(-1)
+            else:
+                want = np.where(bins > 0.35, logits.argmax(-1), C - 1)
+        else:
+            want = np.asarray(ref[0]).argmax(-1)
+        np.testing.assert_array_equal(labels, want,
+                                      err_msg=f"{variant}/{mode}")
