@@ -16,6 +16,57 @@ import time
 import numpy as np
 
 
+def _init_variables(model, batch, cfg):
+    """Flagship init variables, npz-cached on disk.
+
+    model.init is deterministic (PRNGKey(0)) but costs a jitted compile
+    plus a remote program load per cold process (~30-150 s over the
+    axon tunnel); the cache replaces that with one host->device upload.
+    Keyed by the config repr + jax version; a model-code change that
+    alters param SHAPES invalidates naturally (tree/shape check), one
+    that only alters init VALUES requires deleting .cache_bench (the
+    round protocol re-runs bench after the last code change anyway).
+    """
+    import hashlib
+    import os
+    import pickle
+
+    import jax
+
+    key = hashlib.sha256(
+        (repr(cfg) + jax.__version__).encode()).hexdigest()[:16]
+    path = f"/root/repo/.cache_bench/variables_{key}.pkl"
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                host = pickle.load(f)
+            # one batched pytree transfer (a per-leaf device_put would
+            # pay one tunnel round trip per parameter)
+            vs = jax.device_put(host)
+            jax.block_until_ready(vs)
+            return vs
+        except Exception:
+            pass
+    rng = jax.random.PRNGKey(0)
+    # jitted init: XLA dead-code-eliminates the forward, so this only
+    # materializes the parameters.
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        {"params": rng, "dropout": rng},
+        batch["imgs"], batch["projection_mat"], batch["image_wh"],
+        occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
+        occ_cam_mask=batch["occ_cam_mask"], training=False, rng=rng)
+    jax.block_until_ready(variables)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        import numpy as np
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(
+                lambda a: np.asarray(a), variables), f)
+    except Exception:
+        pass
+    return variables
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
@@ -37,15 +88,7 @@ def main():
     model, batch, cfg = _flagship_model_and_batch(small=False,
                                                   batch=ns.batch)
     print(f"# setup {time.perf_counter()-t_start:.1f}s", flush=True)
-    rng = jax.random.PRNGKey(0)
-    # jitted init: XLA dead-code-eliminates the forward, so this only
-    # materializes the parameters.
-    variables = jax.jit(model.init, static_argnames=("training",))(
-        {"params": rng, "dropout": rng},
-        batch["imgs"], batch["projection_mat"], batch["image_wh"],
-        occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
-        occ_cam_mask=batch["occ_cam_mask"], training=False, rng=rng)
-    jax.block_until_ready(variables)
+    variables = _init_variables(model, batch, cfg)
     # narrowest DCN window the weights permit (zero init offsets -> 16;
     # params unchanged — the window is a static kernel shape)
     model, dcn_win = narrow_dcn_win_for_inference(model, cfg, variables)
