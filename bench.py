@@ -38,11 +38,37 @@ def _init_variables(model, batch, cfg):
     path = f"/root/repo/.cache_bench/variables_{key}.pkl"
     if os.path.exists(path):
         try:
+            import numpy as np
+
             with open(path, "rb") as f:
                 host = pickle.load(f)
-            # one batched pytree transfer (a per-leaf device_put would
-            # pay one tunnel round trip per parameter)
-            vs = jax.device_put(host)
+            # ONE packed transfer per dtype, unpacked by a jitted
+            # slicing program: jax.device_put on the raw pytree moves
+            # one leaf per call — ~900 tunnel round-trips, measured
+            # 555 s over axon (vs ~15 s for the packed upload)
+            leaves, treedef = jax.tree_util.tree_flatten(host)
+            by_dt = {}
+            for i, a in enumerate(leaves):
+                by_dt.setdefault(np.dtype(a.dtype).name, []).append(i)
+            packs = {dt: jax.device_put(np.concatenate(
+                [leaves[i].ravel() for i in idxs]))
+                for dt, idxs in by_dt.items()}
+
+            shapes = [a.shape for a in leaves]
+            sizes = [int(a.size) for a in leaves]
+
+            def unpack(packs):
+                offs = {dt: 0 for dt in packs}
+                out = [None] * len(leaves)
+                for dt, idxs in by_dt.items():
+                    for i in idxs:
+                        o = offs[dt]
+                        out[i] = jax.lax.dynamic_slice_in_dim(
+                            packs[dt], o, sizes[i]).reshape(shapes[i])
+                        offs[dt] = o + sizes[i]
+                return jax.tree_util.tree_unflatten(treedef, out)
+
+            vs = jax.jit(unpack)(packs)
             jax.block_until_ready(vs)
             return vs
         except Exception:

@@ -208,11 +208,29 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
                      (0, 0)))
 
     w_strip = num_tc * tile + 2 * lead
+    out = _fwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
+                    epilogue is not None, jnp.dtype(x.dtype).name,
+                    interpret)(xp, offm, w_taps, epi)
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=64)
+def _fwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
+              epilogue: bool, dtype_name: str, interpret: bool):
+    """Memoized pallas_call: the flagship forward holds 52 DCN blocks
+    of only a few distinct shapes; a fresh kernel partial per block
+    defeats JAX's tracing cache (JAX_EXPLAIN_CACHE_MISSES: "function is
+    being re-defined repeatedly, preventing caching") and re-lowers /
+    re-compiles the identical Mosaic kernel dozens of times per cold
+    process."""
+    lead = (win - tile) // 2
+    w_strip = num_tc * tile + 2 * lead
+    dtype = jnp.dtype(dtype_name)
     kernel = functools.partial(
         _kernel, h=h, w=w, c_in=c_in, c_out=c_out, win=win, tile=tile,
-        num_tc=num_tc, w_strip=w_strip, epilogue=epilogue is not None)
+        num_tc=num_tc, w_strip=w_strip, epilogue=epilogue)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(b, num_tr),
         in_specs=[
@@ -228,14 +246,13 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
             lambda bb, ii: (bb, ii, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (b, num_tr * tile, num_tc * tile, c_out), x.dtype),
+            (b, num_tr * tile, num_tc * tile, c_out), dtype),
         scratch_shapes=[
-            pltpu.VMEM((win, w_strip, c_in), x.dtype),
+            pltpu.VMEM((win, w_strip, c_in), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, offm, w_taps, epi)
-    return out[:, :h, :w]
+    )
 
 
 def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
@@ -423,11 +440,37 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
     g_out_p = jnp.pad(g_out, ((0, 0), (0, num_tr * tile - h),
                               (0, num_tc * tile - w), (0, 0)))
 
+    gx_strips, goffm, gw = _bwd_call(
+        b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
+        jnp.dtype(x.dtype).name, interpret)(xp, offm, w_taps, g_out_p)
+
+    # overlap-add the per-row strips into the padded image grad
+    h_pad = num_tr * tile + 2 * lead
+    g_xp = jnp.zeros((b, h_pad, w_strip, c_in), jnp.float32)
+    for i in range(num_tr):
+        g_xp = g_xp.at[:, i * tile:i * tile + win, :, :].add(
+            gx_strips[:, i])
+    g_x = g_xp[:, lead:lead + h, lead:lead + w].astype(x.dtype)
+
+    g_off, g_mask = _unpack_offm_grads(goffm, b, h, w, num_tr, num_tc,
+                                       tile)
+    return (g_x, g_off.astype(offset.dtype), g_mask.astype(mask.dtype),
+            gw.reshape(k, k, c_in, c_out).astype(weight.dtype))
+
+
+@functools.lru_cache(maxsize=64)
+def _bwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
+              dtype_name: str, interpret: bool):
+    """Memoized backward pallas_call (see _fwd_call)."""
+    k = 3
+    lead = (win - tile) // 2
+    w_strip = num_tc * tile + 2 * lead
+    dtype = jnp.dtype(dtype_name)
     kernel = functools.partial(
         _bwd_kernel, h=h, w=w, c_in=c_in, c_out=c_out, win=win, tile=tile,
         num_tc=num_tc, w_strip=w_strip)
 
-    gx_strips, goffm, gw = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(b, num_tr),
         in_specs=[
@@ -454,11 +497,12 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
         out_shape=[
             jax.ShapeDtypeStruct((b, num_tr, win, w_strip, c_in),
                                  jnp.float32),
-            jax.ShapeDtypeStruct(offm.shape, jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, num_tr * num_tc, 8, 9 * tile * tile), jnp.float32),
             jax.ShapeDtypeStruct((k * k, c_in, c_out), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((win, w_strip, c_in), x.dtype),
+            pltpu.VMEM((win, w_strip, c_in), dtype),
             pltpu.VMEM((win, w_strip, c_in), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -467,20 +511,7 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, offm, w_taps, g_out_p)
-
-    # overlap-add the per-row strips into the padded image grad
-    h_pad = num_tr * tile + 2 * lead
-    g_xp = jnp.zeros((b, h_pad, w_strip, c_in), jnp.float32)
-    for i in range(num_tr):
-        g_xp = g_xp.at[:, i * tile:i * tile + win, :, :].add(
-            gx_strips[:, i])
-    g_x = g_xp[:, lead:lead + h, lead:lead + w].astype(x.dtype)
-
-    g_off, g_mask = _unpack_offm_grads(goffm, b, h, w, num_tr, num_tc,
-                                       tile)
-    return (g_x, g_off.astype(offset.dtype), g_mask.astype(mask.dtype),
-            gw.reshape(k, k, c_in, c_out).astype(weight.dtype))
+    )
 
 
 def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,

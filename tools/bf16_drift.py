@@ -120,11 +120,46 @@ def main():
     hard = float(((occ32 != occ16)
                   & (np.abs(bl32f - 0.5) > 0.1)).mean())
 
+    # ---- 3. mechanism: is the disagreement amplified by the lifter's
+    # DISCRETE anchor selection (FPS/top-k index flips on ~1% feature
+    # noise → disjoint Gaussian sets), rather than by smooth numeric
+    # drift? Compare the final refined Gaussian means per anchor slot
+    # (same slot index = same selection lineage) and as sets.
+    def rep(model):
+        @jax.jit
+        def f(variables, key):
+            out = model.apply(
+                variables, batch["imgs"], batch["projection_mat"],
+                batch["image_wh"], occ_xyz=batch["occ_xyz"],
+                occ_label=batch["occ_label"],
+                occ_cam_mask=batch["occ_cam_mask"], training=False,
+                rng=key, rep_only=True)
+            return out["representation"][-1].means
+        return f
+
+    mean32 = np.asarray(rep(m32)(variables, key), np.float32)[0]
+    mean16 = np.asarray(rep(m16)(variables, key), np.float32)[0]
+    slot_dist = np.linalg.norm(mean32 - mean16, axis=-1)
+    # set distance, subsampled: for 512 bf16 anchors, nearest fp32 anchor
+    sub = mean16[:: max(1, mean16.shape[0] // 512)]
+    d2 = np.linalg.norm(sub[:, None, :] - mean32[None, :, :], axis=-1)
+    nn_dist = d2.min(axis=1)
+    anchor_stats = {
+        "slot_mean_dist_m": round(float(slot_dist.mean()), 4),
+        "slot_frac_moved_gt_1m": round(float((slot_dist > 1.0).mean()), 4),
+        "set_nn_median_dist_m": round(float(np.median(nn_dist)), 4),
+    }
+    print(f"# anchor slots: mean |Δmeans| {anchor_stats['slot_mean_dist_m']}"
+          f" m, frac >1 m {anchor_stats['slot_frac_moved_gt_1m']};"
+          f" set-NN median {anchor_stats['set_nn_median_dist_m']} m",
+          flush=True)
+
     rec = {"metric": "bf16_drift_flagship",
            "final_occ_disagree_frac": round(disagree, 6),
            "final_occ_disagree_hard_frac": round(hard, 6),
            "bin_logits_max_delta": round(bl_delta, 5),
            "pred_occ_max_delta": round(po_delta, 5),
+           "anchor": anchor_stats,
            "tower_fpn": tower_rel}
     print(json.dumps(rec), flush=True)
 

@@ -131,6 +131,48 @@ def summarize(outdir, iters: int = 3):
         extra = tf_op or long_name
         print(f"{ms/iters:9.2f} ms  {name[:60]:60s}  {extra[:90]}")
 
+    # the relayout-copy tax, itemized: 'data formatting' ops are pure
+    # layout changes (copy/transpose/bitcast fusions) XLA inserts
+    # between ops whose preferred layouts disagree
+    fmt = defaultdict(float)
+    fmt_meta = {}
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        args = ev.get("args") or {}
+        if args.get("hlo_category", "") != "data formatting":
+            continue
+        name = ev.get("name", "?")
+        fmt[name] += ev.get("dur", 0) / 1e3
+        fmt_meta[name] = (args.get("tf_op", ""),
+                          args.get("long_name", ""))
+    ftop = sorted(fmt.items(), key=lambda kv: -kv[1])[:20]
+    print("# --- top data-formatting (relayout) ops ---")
+    for name, ms in ftop:
+        tf_op, long_name = fmt_meta.get(name, ("", ""))
+        extra = tf_op or long_name
+        print(f"{ms/iters:9.2f} ms  {name[:48]:48s}  {extra[:100]}")
+
+    # what hides in the unbucketed bucket (thousands of tiny events:
+    # scan bodies, async DMA pairs, inter-bucket glue)
+    ub = defaultdict(lambda: [0.0, 0])
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        args = ev.get("args") or {}
+        if not ("long_name" in args or "hlo_op" in args
+                or "hlo_module" in args):
+            continue
+        if _bucket(args.get("tf_op", "")) not in ("", "(unattributed)"):
+            continue
+        name = ev.get("name", "?")
+        ub[name][0] += ev.get("dur", 0) / 1e3
+        ub[name][1] += 1
+    utop = sorted(ub.items(), key=lambda kv: -kv[1][0])[:15]
+    print("# --- top unbucketed ops (ms, count/iter) ---")
+    for name, (ms, cnt) in utop:
+        print(f"{ms/iters:9.2f} ms  x{cnt//iters:5d}  {name[:80]}")
+
 
 if __name__ == "__main__":
     main()
