@@ -100,7 +100,8 @@ class GaussianOccEncoder(nn.Module):
             elif op == "spconv":
                 instance_feature = SparseConv3DModule(
                     **(self.spconv_cfg or {}), name=f"op{i}_spconv")(
-                    instance_feature, anchor)
+                    instance_feature, anchor,
+                    deterministic=deterministic)
             elif "refine" in op:
                 anchor, gaussian = refine_cls(
                     **(self.refine_cfg or {}), name=f"op{i}_refine")(
