@@ -72,7 +72,6 @@ def main():
     batch0 = next(iter(val_loader))
     trainer.verify_dcn_margin(batch0, allow_narrow=True)
     trainer.verify_deformable_spill(batch0)
-    trainer.verify_spconv_pairs(batch0)
 
     miou, occ_iou = trainer.evaluate()
     print(f"mIoU: {miou:.2f}%  occupancy IoU: {occ_iou:.2f}%")

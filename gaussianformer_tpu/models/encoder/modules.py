@@ -499,13 +499,11 @@ class SparseConv3DModule(nn.Module):
     kernel_size: int = 5
     use_out_proj: bool = False
     use_multi_layer: bool = False
-    pair_budget: int = 32
 
     @nn.compact
     def __call__(self, instance_feature, anchor,
                  deterministic: bool = True):
         b = instance_feature.shape[0]
-        p = instance_feature.shape[1]
         xyz = cartesian(anchor[..., :3], self.pc_range)
         coords, grid_shape = voxel_indices(
             xyz, self.pc_range, self.grid_size)
@@ -514,28 +512,12 @@ class SparseConv3DModule(nn.Module):
         # formulation turns the 125-tap neighbor gather into MXU conv
         # FLOPs and its backward into transposed convolutions — the
         # gather path's backward scatter-adds cost ~470 ms/step on v5e.
+        # A pair-table ("rulebook") inference formulation measured
+        # SLOWER (53.9 vs 22.6 ms/fwd — XLA TPU row gathers run ~17
+        # GB/s on the U-matrix reads; docs/PERF.md, preserved in git
+        # history at commit 0233ea2), so inference uses dense-2D too.
         cdt = (jnp.bfloat16 if jax.default_backend() != "cpu" else None)
-        from ...ops.sparse_conv import (build_pair_table,
-                                        submanifold_conv3d_dense2d,
-                                        submanifold_conv3d_pairsum)
-
-        # Inference runs the pair-table formulation: at the shipped
-        # ~7% voxel occupancy it skips the dense grid's empty-cell
-        # FLOPs and the 125-row neighbor gather's zero rows. Pairs
-        # beyond ``pair_budget`` per anchor are DROPPED — sown as
-        # "spconv_pair_max" and validated loudly by
-        # utils.check_spconv_pair_budget (the deformable-spill /
-        # DCN-margin idiom). Training keeps the dense-2D formulation
-        # (transposed-conv backward); so does the 144k-anchor v1 model,
-        # whose U matrix (P*K^3 rows) would not fit HBM.
-        use_pairs = deterministic and p <= 32768
-        if use_pairs:
-            pair_idx, pair_count = jax.vmap(
-                lambda c: build_pair_table(
-                    c, grid_shape, self.kernel_size, self.pair_budget)
-            )(coords)
-            self.sow("intermediates", "spconv_pair_max",
-                     jnp.max(pair_count))
+        from ...ops.sparse_conv import submanifold_conv3d_dense2d
 
         def conv_layer(feats, crds, name, c_in, c_out, use_bias):
             k = self.kernel_size
@@ -545,11 +527,6 @@ class SparseConv3DModule(nn.Module):
                 (k, k, k, c_in, c_out))
             bias = (self.param(name + "_bias", nn.initializers.zeros,
                                (c_out,)) if use_bias else None)
-            if use_pairs:
-                return jax.vmap(
-                    lambda f, pi: submanifold_conv3d_pairsum(
-                        f, pi, w, bias, compute_dtype=cdt)
-                )(feats, pair_idx)
             return jax.vmap(
                 lambda f, c: submanifold_conv3d_dense2d(
                     f, c, grid_shape, w, bias, compute_dtype=cdt)

@@ -160,114 +160,6 @@ def submanifold_conv3d_dense(features, coords, grid_shape, weights,
     return out
 
 
-def build_pair_table(coords, grid_shape, k: int, m_budget: int):
-    """Compacted neighbor-pair table for :func:`submanifold_conv3d_pairsum`.
-
-    At the shipped occupancy (~7% of the 100x100x8 voxel grid holds an
-    anchor), the dense formulations spend >10x the necessary work: for
-    each anchor, all K^3 neighbor cells are convolved/gathered but on
-    average only ~10 hold another anchor (reference spconv builds the
-    same pair list — its "rulebook" — on GPU with a coordinate hash,
-    spconv3d_module.py:10-83). This builds, per anchor, the list of
-    (neighbor anchor id, kernel tap) pairs with a static per-anchor
-    budget ``m_budget``; coords are fixed across a module's stacked
-    layers, so one table serves all of them.
-
-    TPU shape of the build: a [P, K^3] scalar lookup of the voxel→anchor
-    map is descriptor-bound (~5 ms/call measured, docs/PERF.md), and a
-    1-D ``lax.gather`` with multi-element ``slice_sizes`` lowers to a
-    serial while-loop of dynamic-slices (measured 17 ms/module). The
-    fast TPU idiom (the deformable op's) is a plain row gather of a 2-D
-    table with a flat 1-D index: the voxel→anchor map is laid out
-    [Xh*Yh, Zh] (z on lanes, halo-padded by k//2), each anchor fetches
-    its K^2 (dx, dy) neighbor ROWS, and the k z-taps are selected from
-    the Zh lanes by a one-hot contraction — K^2 row descriptors per
-    anchor instead of K^3 scalar ones, no dynamic lane slicing.
-    Compaction to the first ``m_budget`` occupied slots is a cumsum +
-    one-hot contraction — no sort, no scatter.
-
-    Returns (pair_idx [P, M] int32 rows into the layer's U matrix —
-    ``nb * K^3 + tap``, sentinel ``P * K^3`` for empty slots — and
-    count [P] int32 of occupied neighbors, for budget validation).
-    """
-    p = coords.shape[0]
-    r = (k - 1) // 2
-    X, Y, Z = grid_shape
-    kk = k * k
-    kkk = k * k * k
-    Xh, Yh, Zh = X + 2 * r, Y + 2 * r, Z + 2 * r
-
-    sh = coords + r                                   # halo-shifted
-    flat2d = sh[:, 0] * Yh + sh[:, 1]
-    voxmap = jnp.full((Xh * Yh, Zh), -1, jnp.int32).at[
-        flat2d, sh[:, 2]].set(jnp.arange(p, dtype=jnp.int32))
-
-    d = jnp.arange(k, dtype=jnp.int32) - r
-    row_idx = (flat2d[:, None, None] + d[None, :, None] * Yh
-               + d[None, None, :]).reshape(-1)        # [P*K^2] (dx, dy)
-    rows = voxmap[row_idx].reshape(p, kk, Zh)
-
-    # z-tap select from the Zh lanes: nb[p, t, dz] = rows[p, t, z+dz-r]
-    lane = jnp.arange(Zh, dtype=jnp.int32)
-    zsel = (lane[None, None, :]
-            == (sh[:, 2:3, None] + d[None, :, None]))  # [P, k, Zh]
-    nb = jnp.sum(jnp.where(zsel[:, None, :, :], rows[:, :, None, :] + 1,
-                           0), axis=3) - 1             # [P, K^2, k]
-    nb = nb.reshape(p, kkk)                            # dx,dy,dz-major
-
-    occ = nb >= 0
-    slot = jnp.cumsum(occ.astype(jnp.int32), axis=1) - 1  # [P, K^3]
-    count = slot[:, -1] + 1
-    onehot = (occ[:, :, None]
-              & (slot[:, :, None] == jnp.arange(m_budget, dtype=jnp.int32)))
-    u_row = nb * kkk + jnp.arange(kkk, dtype=jnp.int32)   # nb*K^3 + tap
-    sentinel = p * kkk
-    pair_idx = sentinel + jnp.sum(
-        jnp.where(onehot, u_row[:, :, None] - sentinel, 0), axis=1)
-    return pair_idx.astype(jnp.int32), count
-
-
-def submanifold_conv3d_pairsum(features, pair_idx, weights, bias=None,
-                               compute_dtype=None):
-    """One submanifold conv layer over a prebuilt pair table.
-
-    Exactly :func:`submanifold_conv3d` restricted to pairs the table
-    holds (pairs beyond its per-anchor budget are dropped — validate
-    with the ``count`` returned by :func:`build_pair_table`, as the
-    deformable spill budget is validated). The tap-weighted neighbor
-    contributions come from one skinny GEMM
-    ``U = feat @ W[*]`` ([P+1, C] x [C, K^3*C], ~26 GFLOP at flagship
-    shapes) followed by an M-row gather-sum per anchor — ~8x less
-    gather traffic than the 125-row dense-neighborhood gather and ~13x
-    fewer MACs than the dense-grid convolution at 7% occupancy.
-    """
-    p, c_in = features.shape
-    k = weights.shape[0]
-    kkk = k * k * k
-    c_out = weights.shape[-1]
-    if compute_dtype is not None:
-        features = features.astype(compute_dtype)
-        weights = weights.astype(compute_dtype)
-
-    featp = jnp.concatenate(
-        [features, jnp.zeros((1, c_in), features.dtype)], axis=0)
-    # [Cin, K^3 * Cout]; tap-major columns match pair_idx = nb*K^3 + tap
-    w_all = jnp.transpose(weights.reshape(kkk, c_in, c_out),
-                          (1, 0, 2)).reshape(c_in, kkk * c_out)
-    u = jax.lax.dot(featp, w_all,
-                    preferred_element_type=jnp.float32)
-    u = u.astype(features.dtype).reshape((p + 1) * kkk, c_out)
-    # flat-1-D-index row gather: the fast XLA TPU gather idiom (a 2-D
-    # index array / jnp.take lowers to a dynamic-slice loop, measured
-    # 9.4 ms/module)
-    m = pair_idx.shape[1]
-    g = u[pair_idx.reshape(-1)].reshape(p, m, c_out)
-    out = jnp.sum(g.astype(jnp.float32), axis=1)
-    if bias is not None:
-        out = out + bias
-    return out
-
-
 def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
                                bias=None, compute_dtype=None):
     """Dense formulation via BATCHED 2D convolutions.

@@ -223,7 +223,6 @@ class Trainer:
                 batch = next(iter(loader))
                 self.verify_dcn_margin(batch)
                 self.verify_deformable_spill(batch)
-                self.verify_spconv_pairs(batch)
             else:
                 logger.warning(
                     "load_torch_pretrained: no loader available to "
@@ -335,41 +334,6 @@ class Trainer:
                f"the budget are DROPPED (silent attention-mass loss). "
                f"Raise encoder deformable_cfg['spill_budget'] (counts "
                f"per call: {res['per_call']}).")
-        if strict:
-            raise ValueError(msg)
-        logger.error(msg)
-        return res
-
-    def verify_spconv_pairs(self, batch, *, strict: bool = True):
-        """Check the inference spconv pair-table occupancy against its
-        per-anchor budget (utils.check_spconv_pair_budget).
-
-        Anchors with more occupied voxel neighbors than ``pair_budget``
-        silently lose conv taps at inference (training uses the dense
-        formulation and never drops). Raises when over budget
-        (``strict=True``; warns otherwise) naming the ``pair_budget``
-        knob (encoder spconv_cfg)."""
-        from ..utils import check_spconv_pair_budget
-        enc_cfg = dict(self.model.encoder_cfg or {})
-        budget = dict(enc_cfg.get("spconv_cfg") or {}).get(
-            "pair_budget", 32)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        res = check_spconv_pair_budget(
-            self.model, {"params": self._state.params,
-                         "batch_stats": self._state.batch_stats},
-            batch, budget=budget)
-        if res["ok"]:
-            logger.info(
-                "spconv pair budget OK: max %d occupied neighbors <= "
-                "budget %d (%.1f%% used)", res["max_pairs"], budget,
-                100.0 * res["max_pairs"] / max(budget, 1))
-            return res
-        msg = (f"spconv pair table over budget: {res['max_pairs']} "
-               f"occupied neighbors > pair_budget={budget} — taps "
-               f"beyond the budget are DROPPED at inference (silent "
-               f"wrong features). Raise encoder "
-               f"spconv_cfg['pair_budget'] (per module: "
-               f"{res['per_call']}).")
         if strict:
             raise ValueError(msg)
         logger.error(msg)

@@ -132,47 +132,6 @@ def check_deformable_spill(model, variables, batch, *,
             "per_call": per_call, "ok": max_spill <= budget}
 
 
-def check_spconv_pair_budget(model, variables, batch, *,
-                             budget: int = 32, rng=None):
-    """Run one inference forward collecting per-spconv-module occupied
-    neighbor counts and compare against the pair-table budget.
-
-    The inference spconv formulation (ops/sparse_conv.py
-    ``submanifold_conv3d_pairsum``) keeps at most ``pair_budget``
-    occupied-neighbor pairs per anchor; anchors whose voxel
-    neighborhood holds more lose conv taps with no error — the same
-    silent-wrong-features class as the DCN margin and deformable
-    spill. Each SparseConv3DModule sows its max occupied count as
-    ``spconv_pair_max``. Returns ``{"max_pairs", "budget", "per_call",
-    "ok"}``; ``per_call`` is empty when every module ran a dense
-    formulation (training, or >32k anchors).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-    _, inter = model.apply(
-        variables, batch["imgs"], batch["projection_mat"],
-        batch["image_wh"], occ_xyz=batch["occ_xyz"],
-        occ_label=batch["occ_label"], occ_cam_mask=batch["occ_cam_mask"],
-        training=False, rng=rng, mutable=["intermediates"])
-
-    per_call = {}
-
-    def walk(tree, path):
-        for k, v in tree.items():
-            if k == "spconv_pair_max":
-                per_call[path] = int(jax.device_get(jnp.max(
-                    jnp.stack(list(v)))))
-            elif isinstance(v, dict):
-                walk(v, f"{path}/{k}" if path else k)
-
-    walk(inter.get("intermediates", {}), "")
-    max_pairs = max(per_call.values(), default=0)
-    return {"max_pairs": max_pairs, "budget": budget,
-            "per_call": per_call, "ok": max_pairs <= budget}
-
-
 def suggest_dcn_win(max_offset: float, *, tile: int = 8) -> int:
     """Smallest window (multiple of 8) whose margin covers
     ``max_offset``: margin = (win - 2*tile)/2 >= max_offset."""

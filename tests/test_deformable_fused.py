@@ -307,29 +307,3 @@ def test_check_deformable_spill_flags_over_budget():
     res = check_deformable_spill(model, {}, batch, budget=64)
     assert not res["ok"]
 
-
-def test_check_spconv_pair_budget_flags_over_budget():
-    """utils.check_spconv_pair_budget: ok iff max sown occupied-neighbor
-    count <= pair_budget (over-budget anchors lose conv taps at
-    inference and must be loud)."""
-    import flax.linen as nn
-    from gaussianformer_tpu.utils import check_spconv_pair_budget
-
-    class FakeSeg(nn.Module):
-        count: int
-
-        @nn.compact
-        def __call__(self, imgs, projection_mat, image_wh, *, occ_xyz,
-                     occ_label, occ_cam_mask, training, rng):
-            self.sow("intermediates", "spconv_pair_max",
-                     jnp.asarray(self.count, jnp.int32))
-            return {"final_occ": jnp.zeros((1, 4))}
-
-    batch = {k: jnp.zeros((1, 2)) for k in
-             ("imgs", "projection_mat", "image_wh", "occ_xyz",
-              "occ_label", "occ_cam_mask")}
-    model = FakeSeg(count=20)
-    res = check_spconv_pair_budget(model, {}, batch, budget=32)
-    assert res["ok"] and res["max_pairs"] == 20
-    res = check_spconv_pair_budget(model, {}, batch, budget=16)
-    assert not res["ok"]

@@ -345,89 +345,6 @@ def test_submanifold_dense2d_matches_gather_path():
                                rtol=2e-4, atol=2e-4)
 
 
-def _unique_coords(rng, p, grid):
-    X, Y, Z = grid
-    flat = rng.choice(X * Y * Z, size=p, replace=False).astype(np.int32)
-    return np.stack([flat // (Y * Z), (flat // Z) % Y, flat % Z], axis=1)
-
-
-@pytest.mark.parametrize("k", [3, 5])
-def test_submanifold_pairsum_matches_gather_path(k):
-    """The pair-table inference formulation (pair build via halo-padded
-    contiguous window gathers + the U-matrix gather-sum) must equal the
-    voxel-hash gather formulation on a ragged grid, including grid-edge
-    anchors (unique coords: voxel collisions resolve arbitrarily in
-    both, but not necessarily identically)."""
-    from gaussianformer_tpu.ops.sparse_conv import (
-        build_pair_table, submanifold_conv3d, submanifold_conv3d_pairsum)
-    rng = np.random.RandomState(1)
-    P, C, grid = 60, 16, (10, 11, 6)
-    coords = _unique_coords(rng, P - 2, grid)
-    coords = np.concatenate(
-        [coords, [[0, 0, 0], [9, 10, 5]]]).astype(np.int32)
-    coords = jnp.asarray(coords)
-    feats = jnp.asarray(rng.randn(P, C), jnp.float32)
-    w = jnp.asarray(rng.randn(k, k, k, C, C) * 0.1, jnp.float32)
-    bias = jnp.asarray(rng.randn(C), jnp.float32)
-
-    pair_idx, count = build_pair_table(coords, grid, k, m_budget=k ** 3)
-    a = submanifold_conv3d(feats, coords, grid, w, bias)
-    b = submanifold_conv3d_pairsum(feats, pair_idx, w, bias)
-    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                               rtol=2e-4, atol=2e-4)
-
-    # counts match a brute-force neighbor census
-    cs = np.asarray(coords)
-    occ_set = {tuple(c) for c in cs}
-    r = (k - 1) // 2
-    for i in [0, 17, P - 2, P - 1]:
-        n = sum(
-            (cs[i][0] + dx, cs[i][1] + dy, cs[i][2] + dz) in occ_set
-            for dx in range(-r, r + 1) for dy in range(-r, r + 1)
-            for dz in range(-r, r + 1))
-        assert int(count[i]) == n
-
-
-def test_submanifold_pairsum_budget_drops_in_tap_order():
-    """Pairs beyond the per-anchor budget are dropped in tap order
-    (dx-major) — the documented contract the loud
-    check_spconv_pair_budget validates against."""
-    from gaussianformer_tpu.ops.sparse_conv import (
-        build_pair_table, submanifold_conv3d_pairsum)
-    rng = np.random.RandomState(2)
-    k, C = 3, 8
-    grid = (4, 4, 4)
-    # a dense 2x2x2 cluster: the (1,1,1) anchor sees all 8 as neighbors
-    coords = jnp.asarray(
-        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
-        jnp.int32)
-    feats = jnp.asarray(rng.randn(8, C), jnp.float32)
-    w = jnp.asarray(rng.randn(k, k, k, C, C) * 0.1, jnp.float32)
-
-    full_idx, count = build_pair_table(coords, grid, k, m_budget=27)
-    assert int(jnp.max(count)) == 8
-    cut_idx, _ = build_pair_table(coords, grid, k, m_budget=3)
-    out_cut = submanifold_conv3d_pairsum(feats, cut_idx, w)
-
-    # manual: for each anchor, keep the first 3 occupied taps dx-major
-    cs = np.asarray(coords)
-    pos = {tuple(c): j for j, c in enumerate(cs)}
-    expect = np.zeros((8, C), np.float32)
-    for i, c in enumerate(cs):
-        kept = 0
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    j = pos.get((c[0] + dx, c[1] + dy, c[2] + dz))
-                    if j is None or kept >= 3:
-                        continue
-                    expect[i] += np.asarray(feats)[j] @ np.asarray(
-                        w)[dx + 1, dy + 1, dz + 1]
-                    kept += 1
-    np.testing.assert_allclose(np.asarray(out_cut), expect,
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_dcn_pallas_epilogue_matches_separate_bn_relu():
     """The fused frozen-BN+ReLU epilogue in the Pallas DCN forward must
     equal kernel-then-BN-then-ReLU."""
