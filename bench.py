@@ -17,79 +17,24 @@ import numpy as np
 
 
 def _init_variables(model, batch, cfg):
-    """Flagship init variables, npz-cached on disk.
+    """Flagship init variables via jitted on-device init.
 
-    model.init is deterministic (PRNGKey(0)) but costs a jitted compile
-    plus a remote program load per cold process (~30-150 s over the
-    axon tunnel); the cache replaces that with one host->device upload.
-    Keyed by the config repr + jax version; a model-code change that
-    alters param SHAPES invalidates naturally (tree/shape check), one
-    that only alters init VALUES requires deleting .cache_bench (the
-    round protocol re-runs bench after the last code change anyway).
+    XLA dead-code-eliminates the forward, so this only materializes the
+    parameters, and its program persists in .jax_cache — consistently
+    ~50 s over the axon tunnel. A disk cache of the parameter VALUES
+    was measured and rejected: uploading ~150 MB of params costs
+    54/165/439 s across runs of identical code (tunnel-bandwidth
+    lottery), while shipping the init program is stable.
     """
-    import hashlib
-    import os
-    import pickle
-
     import jax
 
-    key = hashlib.sha256(
-        (repr(cfg) + jax.__version__).encode()).hexdigest()[:16]
-    path = f"/root/repo/.cache_bench/variables_{key}.pkl"
-    if os.path.exists(path):
-        try:
-            import numpy as np
-
-            with open(path, "rb") as f:
-                host = pickle.load(f)
-            # ONE packed transfer per dtype, unpacked by a jitted
-            # slicing program: jax.device_put on the raw pytree moves
-            # one leaf per call — ~900 tunnel round-trips, measured
-            # 555 s over axon (vs ~15 s for the packed upload)
-            leaves, treedef = jax.tree_util.tree_flatten(host)
-            by_dt = {}
-            for i, a in enumerate(leaves):
-                by_dt.setdefault(np.dtype(a.dtype).name, []).append(i)
-            packs = {dt: jax.device_put(np.concatenate(
-                [leaves[i].ravel() for i in idxs]))
-                for dt, idxs in by_dt.items()}
-
-            shapes = [a.shape for a in leaves]
-            sizes = [int(a.size) for a in leaves]
-
-            def unpack(packs):
-                offs = {dt: 0 for dt in packs}
-                out = [None] * len(leaves)
-                for dt, idxs in by_dt.items():
-                    for i in idxs:
-                        o = offs[dt]
-                        out[i] = jax.lax.dynamic_slice_in_dim(
-                            packs[dt], o, sizes[i]).reshape(shapes[i])
-                        offs[dt] = o + sizes[i]
-                return jax.tree_util.tree_unflatten(treedef, out)
-
-            vs = jax.jit(unpack)(packs)
-            jax.block_until_ready(vs)
-            return vs
-        except Exception:
-            pass
     rng = jax.random.PRNGKey(0)
-    # jitted init: XLA dead-code-eliminates the forward, so this only
-    # materializes the parameters.
     variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": rng, "dropout": rng},
         batch["imgs"], batch["projection_mat"], batch["image_wh"],
         occ_xyz=batch["occ_xyz"], occ_label=batch["occ_label"],
         occ_cam_mask=batch["occ_cam_mask"], training=False, rng=rng)
     jax.block_until_ready(variables)
-    try:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        import numpy as np
-        with open(path, "wb") as f:
-            pickle.dump(jax.tree_util.tree_map(
-                lambda a: np.asarray(a), variables), f)
-    except Exception:
-        pass
     return variables
 
 
