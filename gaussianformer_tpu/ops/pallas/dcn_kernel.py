@@ -70,6 +70,21 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
     iota_ty = jax.lax.broadcasted_iota(jnp.int32, (wty, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
+    # offm arrives in its NATURAL conv-output layout [1, T, Wp, 3kk]
+    # (dy/dx interleaved then mask — no host-side repack: the packed
+    # [B, nt, 8, kk*T*T] relayout chain measured ~16 ms/frame across the
+    # 52 flagship blocks). Each tile's [T*T, 3kk] slab is transposed to
+    # [3kk, T*T] lane vectors ON THE MXU via an identity matmul: exact
+    # for bf16 inputs at one pass, and for normal f32 at HIGHEST (the
+    # 3-term bf16 split x = hi+mid+lo is exact, and each term times the
+    # 0/1 identity accumulates back losslessly in f32).
+    od = offm_ref.dtype
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (s_tap, s_tap), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (s_tap, s_tap), 1)
+           ).astype(od)
+    prec = (jax.lax.Precision.HIGHEST if od == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     copy.wait()
 
     def one_tile(j, _):
@@ -80,15 +95,21 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
         # keep the MXU pipeline filled; per-tap S=64 measured neutral).
         win3d = strip_buf[:, pl.ds(j * tile, win), :]   # [win, win, C]
 
+        slab = offm_ref[0, :, pl.ds(j * tile, tile), :].reshape(
+            s_tap, 3 * kk)
+        t_om = jax.lax.dot_general(
+            slab, eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                             # [3kk, T*T]
+
         out = jnp.zeros((tile * tile, c_out), jnp.float32)
         for ty in (-1, 0, 1):
             m_parts = []
             for tx in (-1, 0, 1):
                 k = (ty + 1) * 3 + (tx + 1)
-                sl = slice(k * s_tap, (k + 1) * s_tap)
-                off_y = offm_ref[0, j, 0:1, sl]
-                off_x = offm_ref[0, j, 1:2, sl]
-                mask = offm_ref[0, j, 2:3, sl]
+                off_y = t_om[2 * k:2 * k + 1, :]
+                off_x = t_om[2 * k + 1:2 * k + 2, :]
+                mask = t_om[2 * kk + k:2 * kk + k + 1, :]
 
                 sy = (i * tile + ty).astype(jnp.float32) + py + off_y
                 sx = (j * tile + tx).astype(jnp.float32) + px + off_x
@@ -188,8 +209,13 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     num_tr = -(-h // tile)
     num_tc = -(-w // tile)
 
-    offm = _pack_offm(offset.astype(jnp.float32), mask.astype(jnp.float32),
-                      num_tr, num_tc, tile)
+    # natural-layout offset+mask operand [B, Hp, Wp, 3kk]: one cheap
+    # pad+concat fusion; the tile-local transpose to lane vectors
+    # happens in-kernel on the MXU (see _kernel). dy/dx keep their
+    # interleaved channel order; mask follows at 2kk.
+    offm = jnp.pad(
+        jnp.concatenate([offset, mask.astype(offset.dtype)], axis=-1),
+        ((0, 0), (0, num_tr * tile - h), (0, num_tc * tile - w), (0, 0)))
     w_taps = weight.reshape(k * k, c_in, c_out).astype(x.dtype)
     if epilogue is not None:
         inv, shift = epilogue
@@ -210,13 +236,15 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     w_strip = num_tc * tile + 2 * lead
     out = _fwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
                     epilogue is not None, jnp.dtype(x.dtype).name,
+                    jnp.dtype(offm.dtype).name,
                     interpret)(xp, offm, w_taps, epi)
     return out[:, :h, :w]
 
 
 @functools.lru_cache(maxsize=64)
 def _fwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
-              epilogue: bool, dtype_name: str, interpret: bool):
+              epilogue: bool, dtype_name: str, off_dtype_name: str,
+              interpret: bool):
     """Memoized pallas_call: the flagship forward holds 52 DCN blocks
     of only a few distinct shapes; a fresh kernel partial per block
     defeats JAX's tracing cache (JAX_EXPLAIN_CACHE_MISSES: "function is
@@ -235,9 +263,9 @@ def _fwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
         grid=(b, num_tr),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),        # x stays in HBM
-            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
+            pl.BlockSpec((1, tile, num_tc * tile, 3 * 9),
                          lambda bb, ii: (bb, ii, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),       # natural offmask
             pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),       # epilogue coeffs
         ],
