@@ -57,10 +57,15 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
     # One DMA per TILE ROW: adjacent windows overlap by (win - tile)
     # columns, so the strip read moves ~3x fewer bytes than per-tile
     # windows, and the per-invocation fixed cost is amortized over
-    # num_tc tiles. x arrives pre-padded by `lead` on top/left, so the
-    # strip starts exactly at row i*T (sublane-aligned).
+    # num_tc tiles. x arrives W-padded only (columns shifted by `lead`
+    # so interior window loads stay sublane-aligned — Mosaic requires
+    # 8-aligned DMA slice shapes); ROWS are unpadded: the DMA start is
+    # clamped into [0, h-win] and each tap group's window origin is
+    # re-derived dynamically below (out-of-image corners already carry
+    # zero M weight via oky, so clamped strips are value-exact).
+    s_c = jnp.clip(i * tile - lead, 0, h - win)
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, win), :, :], strip_buf, sem)
+        x_hbm.at[b, pl.ds(s_c, win), :, :], strip_buf, sem)
     copy.start()
 
     s_tap = tile * tile
@@ -93,7 +98,6 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
         # tap_y share the SAME row window, so the sampling matmul runs
         # once per row group with S = 3*64 = 192 samples (long enough to
         # keep the MXU pipeline filled; per-tap S=64 measured neutral).
-        win3d = strip_buf[:, pl.ds(j * tile, win), :]   # [win, win, C]
 
         slab = offm_ref[0, :, pl.ds(j * tile, tile), :].reshape(
             s_tap, 3 * kk)
@@ -104,6 +108,12 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
 
         out = jnp.zeros((tile * tile, c_out), jnp.float32)
         for ty in (-1, 0, 1):
+            # desired window origin (image row) for this tap group, and
+            # its clamp into the strip's actual coverage [s_c, s_c+win):
+            # rows the clamp pushes out of the window are exactly the
+            # rows oky/iota-range already weight to zero (see fwd notes)
+            o = i * tile + ty - lead_ty
+            o_c = jnp.clip(o, s_c, s_c + win - wty)
             m_parts = []
             for tx in (-1, 0, 1):
                 k = (ty + 1) * 3 + (tx + 1)
@@ -125,8 +135,8 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
                 # [wty, 64] / [win, 64] blocks; out-of-window corners
                 # match no iota row and drop out (zero weight),
                 # image-bounds validity factors per axis.
-                # tap-row windows: global [i*T + ty - lead_ty, +wty)
-                ry0 = y0i - (i * tile + ty - lead_ty)
+                # tap-row windows: global [o_c, o_c + wty)
+                ry0 = y0i - o_c
                 rx0 = x0i - (j * tile - lead)
                 oky0 = (y0i >= 0) & (y0i <= h - 1)
                 oky1 = (y0i >= -1) & (y0i <= h - 2)
@@ -146,10 +156,11 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
             m_t = jnp.concatenate(m_parts, axis=1).astype(
                 strip_buf.dtype)                    # [wty*win, 192]
 
-            # strip row of the group window start: (i*T + ty - lead_ty)
-            # - (i*T - lead) = lead + ty - lead_ty — static dim-0 slice
-            r0 = lead + ty - lead_ty
-            win_k = win3d[r0:r0 + wty].reshape(wty * win, c_in)
+            # strip rows of the group window (dynamic start: the strip's
+            # own origin s_c is row-clamped at the image edges)
+            win_k = strip_buf[pl.ds(o_c - s_c, wty),
+                              pl.ds(j * tile, win), :].reshape(
+                                  wty * win, c_in)
 
             acc = jax.lax.dot_general(
                 m_t, win_k, (((0,), (0,)), ((), ())),
@@ -225,15 +236,13 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     else:
         epi = jnp.zeros((8, c_out), jnp.float32)
 
-    # pad so every window DMA starts exactly at (i*T, j*T): `lead` rows /
-    # cols of zeros on top/left, tile-grid + lead slack on bottom/right
+    # W-only pad (lead columns of zeros on the left, tile-grid + lead
+    # slack on the right) keeps the kernel's window loads
+    # sublane-aligned; rows go in UNPADDED — the kernel clamps its
+    # strip DMA rows into [0, h-win] (see _kernel notes).
     lead = (win - tile) // 2
-    xp = jnp.pad(x, ((0, 0),
-                     (lead, num_tr * tile + lead - h),
-                     (lead, num_tc * tile + lead - w),
-                     (0, 0)))
-
     w_strip = num_tc * tile + 2 * lead
+    xp = jnp.pad(x, ((0, 0), (0, 0), (lead, w_strip - w - lead), (0, 0)))
     out = _fwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
                     epilogue is not None, jnp.dtype(x.dtype).name,
                     jnp.dtype(offm.dtype).name,
