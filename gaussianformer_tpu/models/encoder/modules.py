@@ -519,7 +519,8 @@ class SparseConv3DModule(nn.Module):
         cdt = (jnp.bfloat16 if jax.default_backend() != "cpu" else None)
         from ...ops.sparse_conv import submanifold_conv3d_dense2d
 
-        def conv_layer(feats, crds, name, c_in, c_out, use_bias):
+        def conv_layer(feats, crds, name, c_in, c_out, use_bias,
+                       dense_prev=None):
             k = self.kernel_size
             w = self.param(
                 name + "_kernel",
@@ -527,22 +528,31 @@ class SparseConv3DModule(nn.Module):
                 (k, k, k, c_in, c_out))
             bias = (self.param(name + "_bias", nn.initializers.zeros,
                                (c_out,)) if use_bias else None)
-            return jax.vmap(
-                lambda f, c: submanifold_conv3d_dense2d(
-                    f, c, grid_shape, w, bias, compute_dtype=cdt)
-            )(feats, crds)
+            def fn(f, c, d):
+                return submanifold_conv3d_dense2d(
+                    f, c, grid_shape, w, bias, compute_dtype=cdt,
+                    dense_reuse=d, return_dense=True)
+            if dense_prev is None:
+                return jax.vmap(lambda f, c: fn(f, c, None))(feats, crds)
+            return jax.vmap(fn)(feats, crds, dense_prev)
 
         x = instance_feature
         if self.use_multi_layer:
+            dense = None
             for i in range(3):
                 c_in = self.in_channels if i == 0 else self.embed_channels
-                x = conv_layer(x, coords, f"conv{i}", c_in,
-                               self.embed_channels, use_bias=True)
+                # stacked layers share coords and channel width: recycle
+                # the scatter table (overwrite anchor rows in place)
+                # instead of zero-filling a fresh 80k-row table per layer
+                reuse = dense if c_in == self.embed_channels else None
+                x, dense = conv_layer(x, coords, f"conv{i}", c_in,
+                                      self.embed_channels, use_bias=True,
+                                      dense_prev=reuse)
                 x = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(x)
                 x = nn.relu(x)
         else:
-            x = conv_layer(x, coords, "conv0", self.in_channels,
-                           self.embed_channels, use_bias=False)
+            x, _ = conv_layer(x, coords, "conv0", self.in_channels,
+                              self.embed_channels, use_bias=False)
         if self.use_out_proj:
             x = nn.Dense(self.embed_channels, name="output_proj")(x)
         return x

@@ -161,7 +161,8 @@ def submanifold_conv3d_dense(features, coords, grid_shape, weights,
 
 
 def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
-                               bias=None, compute_dtype=None):
+                               bias=None, compute_dtype=None,
+                               dense_reuse=None, return_dense=False):
     """Dense formulation via BATCHED 2D convolutions.
 
     Same math as :func:`submanifold_conv3d_dense`, but the 3D conv is
@@ -169,6 +170,15 @@ def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
     dimension — XLA lowers 5x5 2D convs near MXU peak while its direct
     3D conv lowering runs at ~13% utilization on v5e (measured 11 ms vs
     ~2 ms for the identical FLOPs at the 100x100x8 flagship grid).
+
+    ``dense_reuse``/``return_dense``: stacked layers over the SAME
+    coords can recycle the previous layer's scatter table instead of
+    zero-filling a fresh one (the anchor rows are overwritten at
+    identical flat indices; every other row is still zero) — the
+    zero-broadcast is most of each scatter's cost. Pass
+    ``return_dense=True`` to get ``(out, dense)`` back and feed
+    ``dense`` to the next layer's ``dense_reuse`` (requires equal
+    channel counts).
     """
     p, c_in = features.shape
     k = weights.shape[0]
@@ -186,8 +196,9 @@ def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
         weights = weights.astype(compute_dtype)
 
     flat = (coords[:, 0] * Yp + coords[:, 1]) * Z + coords[:, 2]
-    dense = jnp.zeros((Xp * Yp * Z, c_in), features.dtype).at[flat].set(
-        features)
+    base = (jnp.zeros((Xp * Yp * Z, c_in), features.dtype)
+            if dense_reuse is None else dense_reuse.astype(features.dtype))
+    dense = base.at[flat].set(features)
     # [Xp, Yp, Z, C] → z-planes as batch [Z, Xp, Yp, C]
     vol = jnp.transpose(dense.reshape(Xp, Yp, Z, c_in), (2, 0, 1, 3))
     volp = jnp.pad(vol, ((r, r), (0, 0), (0, 0), (0, 0)))
@@ -202,4 +213,6 @@ def submanifold_conv3d_dense2d(features, coords, grid_shape, weights,
     out = out[flat].astype(jnp.float32)
     if bias is not None:
         out = out + bias
+    if return_dense:
+        return out, dense
     return out

@@ -345,6 +345,28 @@ def test_submanifold_dense2d_matches_gather_path():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_submanifold_dense2d_reuse_table_equivalent():
+    """Recycling the previous layer's scatter table (dense_reuse) must
+    be exactly equivalent to a fresh zero-filled table: the anchor rows
+    are overwritten at identical flat indices and all other rows are
+    still zero."""
+    from gaussianformer_tpu.ops.sparse_conv import (
+        submanifold_conv3d_dense2d)
+    rng = np.random.RandomState(1)
+    P, C, k = 60, 16, 3
+    coords = jnp.asarray(rng.randint(0, [10, 11, 6], size=(P, 3)),
+                         jnp.int32)
+    f0 = jnp.asarray(rng.randn(P, C), jnp.float32)
+    f1 = jnp.asarray(rng.randn(P, C), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, k, C, C) * 0.1, jnp.float32)
+    _, dense = submanifold_conv3d_dense2d(
+        f0, coords, (10, 11, 6), w, return_dense=True)
+    fresh = submanifold_conv3d_dense2d(f1, coords, (10, 11, 6), w)
+    reused = submanifold_conv3d_dense2d(
+        f1, coords, (10, 11, 6), w, dense_reuse=dense)
+    np.testing.assert_array_equal(np.asarray(reused), np.asarray(fresh))
+
+
 def test_dcn_pallas_epilogue_matches_separate_bn_relu():
     """The fused frozen-BN+ReLU epilogue in the Pallas DCN forward must
     equal kernel-then-BN-then-ReLU."""
