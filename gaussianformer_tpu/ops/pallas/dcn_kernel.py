@@ -90,21 +90,28 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
     prec = (jax.lax.Precision.HIGHEST if od == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    def transpose_slab(j):
+        # clamped at j == num_tc (the prefetched value past the last
+        # tile is discarded)
+        slab = offm_ref[0, :, pl.ds(jnp.minimum(j, num_tc - 1) * tile,
+                                    tile), :].reshape(s_tap, 3 * kk)
+        return jax.lax.dot_general(
+            slab, eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                             # [3kk, T*T]
+
     copy.wait()
 
-    def one_tile(j, _):
+    def one_tile(j, t_om):
         # ---- sample geometry: everything lives on [1, 64] lane vectors
         # per tap (tap-major packing s = k*64 + p). Taps with the same
         # tap_y share the SAME row window, so the sampling matmul runs
         # once per row group with S = 3*64 = 192 samples (long enough to
         # keep the MXU pipeline filled; per-tap S=64 measured neutral).
 
-        slab = offm_ref[0, :, pl.ds(j * tile, tile), :].reshape(
-            s_tap, 3 * kk)
-        t_om = jax.lax.dot_general(
-            slab, eye, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                             # [3kk, T*T]
+        # software pipeline: tile j+1's transpose (MXU) is issued here,
+        # independent of tile j's M build (VPU), so the two can overlap
+        t_om_next = transpose_slab(j + 1)
 
         out = jnp.zeros((tile * tile, c_out), jnp.float32)
         for ty in (-1, 0, 1):
@@ -180,9 +187,9 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
                               0.0)
         out_ref[0, :, pl.ds(j * tile, tile), :] = out.reshape(
             tile, tile, c_out).astype(out_ref.dtype)
-        return 0
+        return t_om_next
 
-    jax.lax.fori_loop(0, num_tc, one_tile, 0)
+    jax.lax.fori_loop(0, num_tc, one_tile, transpose_slab(0))
 
 
 def _pack_offm(offset, mask, num_tr, num_tc, tile):
