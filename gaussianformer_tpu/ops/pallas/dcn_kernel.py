@@ -192,22 +192,15 @@ def _kernel(x_hbm, offm_ref, w_ref, epi_ref, out_ref, strip_buf, sem, *,
     jax.lax.fori_loop(0, num_tc, one_tile, transpose_slab(0))
 
 
-def _pack_offm(offset, mask, num_tr, num_tc, tile):
-    """offset [B,H,W,2kk] (dy,dx interleaved), mask [B,H,W,kk] →
-    [B, nt, 8, kk*tile*tile]: rows (dy, dx, mask, pad), columns in
-    s = k*T*T + p order so the kernel reads [1, S] lane vectors."""
+def _natural_offmask(offset, mask, num_tr, num_tc, tile):
+    """offset [B,H,W,2kk] (dy,dx interleaved) + mask [B,H,W,kk] →
+    [B, Hp, Wp, 3kk] in the natural conv-output layout: one cheap
+    pad+concat fusion (the kernels transpose each tile's [T*T, 3kk]
+    slab to lane vectors on the MXU — see _kernel)."""
     b, h, w, _ = offset.shape
-    kk = mask.shape[-1]
-    h_pad = num_tr * tile
-    w_pad = num_tc * tile
-    off = jnp.pad(offset, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
-    msk = jnp.pad(mask, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
-    off = off.reshape(b, h_pad, w_pad, kk, 2)
-    data = jnp.stack([off[..., 0], off[..., 1], msk], axis=3)  # [B,H,W,3,kk]
-    data = data.reshape(b, num_tr, tile, num_tc, tile, 3, kk)
-    data = data.transpose(0, 1, 3, 5, 6, 2, 4).reshape(
-        b, num_tr * num_tc, 3, kk * tile * tile)
-    return jnp.pad(data, ((0, 0), (0, 0), (0, 5), (0, 0)))
+    return jnp.pad(
+        jnp.concatenate([offset, mask.astype(offset.dtype)], axis=-1),
+        ((0, 0), (0, num_tr * tile - h), (0, num_tc * tile - w), (0, 0)))
 
 
 def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
@@ -227,13 +220,7 @@ def deform_conv2d_pallas_fwd(x, offset, mask, weight, *, win: int = 24,
     num_tr = -(-h // tile)
     num_tc = -(-w // tile)
 
-    # natural-layout offset+mask operand [B, Hp, Wp, 3kk]: one cheap
-    # pad+concat fusion; the tile-local transpose to lane vectors
-    # happens in-kernel on the MXU (see _kernel). dy/dx keep their
-    # interleaved channel order; mask follows at 2kk.
-    offm = jnp.pad(
-        jnp.concatenate([offset, mask.astype(offset.dtype)], axis=-1),
-        ((0, 0), (0, num_tr * tile - h), (0, num_tc * tile - w), (0, 0)))
+    offm = _natural_offmask(offset, mask, num_tr, num_tc, tile)
     w_taps = weight.reshape(k * k, c_in, c_out).astype(x.dtype)
     if epilogue is not None:
         inv, shift = epilogue
@@ -340,11 +327,20 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
     def _():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
-    # rows 3:8 of each goffm block are padding the unpack ignores, but
-    # they must still be written: unwritten VMEM would surface as
-    # nondeterministic garbage in the op output.
-    goffm_ref[...] = jnp.zeros_like(goffm_ref)
     gstrip_buf[...] = jnp.zeros_like(gstrip_buf)
+
+    # natural-layout offmask (see _kernel): per-tile MXU transpose in,
+    # and the per-tap grad rows are transposed BACK to the natural
+    # [T, T, 3kk] layout before the write (HIGHEST precision — grads
+    # are true f32)
+    od = offm_ref.dtype
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (s_tap, s_tap), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (s_tap, s_tap), 1))
+    eye_od = eye.astype(od)
+    eye_f32 = eye.astype(jnp.float32)
+    prec = (jax.lax.Precision.HIGHEST if od == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     copy.wait()
 
     def one_tile(j, _):
@@ -352,17 +348,26 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
         g_out = gout_ref[0, :, pl.ds(j * tile, tile), :].reshape(
             tile * tile, c_out).astype(strip_buf.dtype)
 
+        slab = offm_ref[0, :, pl.ds(j * tile, tile), :].reshape(
+            s_tap, 3 * kk)
+        t_om = jax.lax.dot_general(
+            slab, eye_od, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                             # [3kk, T*T]
+
         gwin_parts = []          # (r0, [wty, win, C]) per tap; summed
                                  # via static zero-pads below (an
                                  # .at[r0:].add on a value lowers to an
                                  # unsupported in-kernel scatter-add)
+        g_dy_rows = [None] * kk  # per-tap [1, 64] grad rows, assembled
+        g_dx_rows = [None] * kk  # into one [3kk, 64] block after the
+        g_m_rows = [None] * kk   # tap loop and transposed back
         for k in range(kk):
             ty = k // 3 - 1
             tx = k % 3 - 1
-            sl = slice(k * s_tap, (k + 1) * s_tap)
-            off_y = offm_ref[0, j, 0:1, sl]
-            off_x = offm_ref[0, j, 1:2, sl]
-            mask = offm_ref[0, j, 2:3, sl]
+            off_y = t_om[2 * k:2 * k + 1, :]
+            off_x = t_om[2 * k + 1:2 * k + 2, :]
+            mask = t_om[2 * kk + k:2 * kk + k + 1, :]
 
             sy = (i * tile + ty).astype(jnp.float32) + py + off_y
             sx = (j * tile + tx).astype(jnp.float32) + px + off_x
@@ -424,12 +429,24 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
                   - jnp.where(iota_ty == ry0, 1.0 * oky0, 0.0))
             dc = (jnp.where(iota_w == rx0 + 1, 1.0 * okx1, 0.0)
                   - jnp.where(iota_w == rx0, 1.0 * okx0, 0.0))
-            goffm_ref[0, j, 0:1, sl] = mask * jnp.sum(
-                dr * e_r, axis=0, keepdims=True)
-            goffm_ref[0, j, 1:2, sl] = mask * jnp.sum(
-                dc * f_c, axis=0, keepdims=True)
-            goffm_ref[0, j, 2:3, sl] = jnp.sum(
-                r_t * e_r, axis=0, keepdims=True)
+            g_dy_rows[k] = mask * jnp.sum(dr * e_r, axis=0, keepdims=True)
+            g_dx_rows[k] = mask * jnp.sum(dc * f_c, axis=0, keepdims=True)
+            g_m_rows[k] = jnp.sum(r_t * e_r, axis=0, keepdims=True)
+
+        # [3kk, 64] in channel order (dy/dx interleaved, then mask) →
+        # MXU transpose back to the natural [T, T, 3kk] tile layout
+        g_rows = []
+        for k in range(kk):
+            g_rows.append(g_dy_rows[k])
+            g_rows.append(g_dx_rows[k])
+        g_rows.extend(g_m_rows)
+        g_t = jnp.concatenate(g_rows, axis=0)            # [3kk, 64]
+        g_nat = jax.lax.dot_general(
+            eye_f32, g_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [64, 3kk]
+        goffm_ref[0, :, pl.ds(j * tile, tile), :] = g_nat.reshape(
+            tile, tile, 3 * kk)
 
         gwin_cols = jnp.zeros((win, win, c_in), jnp.float32)
         for r0, g in gwin_parts:
@@ -441,21 +458,6 @@ def _bwd_kernel(x_hbm, offm_ref, w_ref, gout_ref, gx_ref, goffm_ref,
 
     jax.lax.fori_loop(0, num_tc, one_tile, 0)
     gx_ref[0, 0] = gstrip_buf[...].astype(gx_ref.dtype)
-
-
-def _unpack_offm_grads(goffm, b, h, w, num_tr, num_tc, tile):
-    """[B, nt, 8, kk*T*T] grad rows (dy, dx, mask) → offset grad
-    [B, H, W, 2kk] (interleaved) and mask grad [B, H, W, kk]."""
-    kk = 9
-    data = goffm[:, :, :3, :].reshape(
-        b, num_tr, num_tc, 3, kk, tile, tile)
-    data = data.transpose(0, 1, 5, 2, 6, 3, 4)   # [B,tr,T,tc,T,3,kk]
-    data = data.reshape(b, num_tr * tile, num_tc * tile, 3, kk)
-    g_off = jnp.stack([data[..., 0, :], data[..., 1, :]],
-                      axis=-1).reshape(b, num_tr * tile, num_tc * tile,
-                                       2 * kk)
-    g_mask = data[..., 2, :]
-    return g_off[:, :h, :w], g_mask[:, :h, :w]
 
 
 def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
@@ -474,8 +476,7 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
     lead = (win - tile) // 2
     w_strip = num_tc * tile + 2 * lead
 
-    offm = _pack_offm(offset.astype(jnp.float32), mask.astype(jnp.float32),
-                      num_tr, num_tc, tile)
+    offm = _natural_offmask(offset, mask, num_tr, num_tc, tile)
     w_taps = weight.reshape(k * k, c_in, c_out).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0),
                      (lead, num_tr * tile + lead - h),
@@ -486,7 +487,8 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
 
     gx_strips, goffm, gw = _bwd_call(
         b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
-        jnp.dtype(x.dtype).name, interpret)(xp, offm, w_taps, g_out_p)
+        jnp.dtype(x.dtype).name, jnp.dtype(offm.dtype).name,
+        interpret)(xp, offm, w_taps, g_out_p)
 
     # overlap-add the per-row strips into the padded image grad
     h_pad = num_tr * tile + 2 * lead
@@ -496,15 +498,17 @@ def deform_conv2d_pallas_bwd(x, offset, mask, weight, g_out, *,
             gx_strips[:, i])
     g_x = g_xp[:, lead:lead + h, lead:lead + w].astype(x.dtype)
 
-    g_off, g_mask = _unpack_offm_grads(goffm, b, h, w, num_tr, num_tc,
-                                       tile)
+    # goffm comes back in the natural [B, Hp, Wp, 3kk] layout: unpack
+    # is a crop + channel split
+    g_off = goffm[:, :h, :w, :2 * 9]
+    g_mask = goffm[:, :h, :w, 2 * 9:]
     return (g_x, g_off.astype(offset.dtype), g_mask.astype(mask.dtype),
             gw.reshape(k, k, c_in, c_out).astype(weight.dtype))
 
 
 @functools.lru_cache(maxsize=64)
 def _bwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
-              dtype_name: str, interpret: bool):
+              dtype_name: str, off_dtype_name: str, interpret: bool):
     """Memoized backward pallas_call (see _fwd_call)."""
     k = 3
     lead = (win - tile) // 2
@@ -519,9 +523,9 @@ def _bwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
         grid=(b, num_tr),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),        # x (padded)
-            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
+            pl.BlockSpec((1, tile, num_tc * tile, 3 * 9),
                          lambda bb, ii: (bb, ii, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),       # natural offmask
             pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
             pl.BlockSpec((1, tile, num_tc * tile, c_out),
                          lambda bb, ii: (bb, ii, 0, 0),
@@ -531,9 +535,9 @@ def _bwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
             pl.BlockSpec((1, 1, win, w_strip, c_in),
                          lambda bb, ii: (bb, ii, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_tc, 8, 9 * tile * tile),
+            pl.BlockSpec((1, tile, num_tc * tile, 3 * 9),
                          lambda bb, ii: (bb, ii, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),       # natural g_offmask
             pl.BlockSpec((k * k, c_in, c_out),
                          lambda bb, ii: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -542,7 +546,7 @@ def _bwd_call(b, num_tr, num_tc, h, w, c_in, c_out, win, tile,
             jax.ShapeDtypeStruct((b, num_tr, win, w_strip, c_in),
                                  jnp.float32),
             jax.ShapeDtypeStruct(
-                (b, num_tr * num_tc, 8, 9 * tile * tile), jnp.float32),
+                (b, num_tr * tile, num_tc * tile, 3 * 9), jnp.float32),
             jax.ShapeDtypeStruct((k * k, c_in, c_out), jnp.float32),
         ],
         scratch_shapes=[
